@@ -1,0 +1,47 @@
+"""hpclinalg — TPU-native distributed sparse/dense linear algebra.
+
+A from-scratch rebuild of the capabilities of HPCLinearAlgebra.jl
+(sloisel/LinearAlgebraMPI.jl, mounted read-only at /root/reference) on
+JAX/XLA/Pallas: row-partitioned vectors, dense matrices and CSR sparse
+matrices sharded over a 1-D device mesh, with the reference's memoized MPI
+communication plans re-designed as host-computed static index plans
+compiled into shard_map collectives, and the MUMPS/cuDSS direct solvers
+replaced by a from-scratch supernodal multifrontal factorization.
+
+See SURVEY.md at the repo root for the architecture mapping.
+"""
+
+from .backend import (
+    AXIS,
+    Backend,
+    backend_auto,
+    backend_serial,
+    backends_compatible,
+)
+from .cache import cache_sizes, check_cache_sizes, clear_plan_cache
+from .config import enable_x64
+from .hashing import dense_structural_hash, partition_hash, sparse_structural_hash
+from .partition import uniform_partition
+from .vector import DistVector
+from .sparse import DistSparseMatrix
+from .dense import DistDenseMatrix
+from .lazy import LazyTranspose
+from .ops.repartition import repartition_dense, repartition_vector
+from .ops.sparse_build import spdiagm, speye, sprand_dist
+from .ops.blocks import blockdiag, cat_sparse, hcat_sparse, vcat_sparse
+from .ops.map_rows import map_rows, vertex_indices
+from .solve.api import BackslashCache, Factorization, ldlt, lu, solve
+from .utils.io import io0
+
+__all__ = [
+    "AXIS", "Backend", "backend_auto", "backend_serial", "backends_compatible",
+    "cache_sizes", "check_cache_sizes", "clear_plan_cache", "enable_x64",
+    "partition_hash", "sparse_structural_hash", "dense_structural_hash",
+    "uniform_partition", "DistVector", "DistSparseMatrix", "DistDenseMatrix",
+    "LazyTranspose", "repartition_vector", "repartition_dense",
+    "spdiagm", "speye", "sprand_dist", "blockdiag", "cat_sparse",
+    "hcat_sparse", "vcat_sparse", "map_rows", "vertex_indices",
+    "Factorization", "BackslashCache", "lu", "ldlt", "solve", "io0",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,90 @@
+"""Backend: the mesh/dtype/solver configuration object.
+
+TPU-native replacement for the reference's ``HPCBackend{T,Ti,Device,Comm,
+Solver}`` (/root/reference/src/backends.jl:137) and its ``AbstractComm``
+layer (backends.jl:196-327). The MPI communicator becomes a 1-D
+``jax.sharding.Mesh`` over the ``"rows"`` axis; the serial no-op comm
+(``CommSerial``) becomes a 1-device mesh; device selection (CPU/Metal/CUDA)
+becomes JAX platform selection (tpu / cpu). All collectives are XLA
+collectives inside ``shard_map`` — there is no send/recv tag discipline to
+maintain (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from functools import cached_property
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "rows"
+
+
+@dataclass(frozen=True)
+class Backend:
+    """Configuration: device mesh + element dtype + index dtype + solver.
+
+    ``mesh`` is always 1-D over axis "rows"; ``nshards == mesh.size`` plays
+    the role of the reference's MPI world size. Generalizing to 2-D meshes is
+    a layout change confined to this module.
+    """
+
+    mesh: Mesh
+    dtype: Any = np.float64
+    index_dtype: Any = np.int32
+    solver: str = "multifrontal"
+
+    def __post_init__(self):
+        if self.mesh.axis_names != (AXIS,):
+            raise ValueError(f"backend mesh must be 1-D over axis {AXIS!r}")
+
+    @property
+    def nshards(self) -> int:
+        return int(self.mesh.size)
+
+    @cached_property
+    def key(self) -> tuple:
+        """Hashable identity for plan-cache keys."""
+        dev = tuple(d.id for d in self.mesh.devices.flat)
+        return (dev, np.dtype(self.dtype).str, np.dtype(self.index_dtype).str)
+
+    def row_sharding(self, extra_dims: int = 0) -> NamedSharding:
+        """Sharding for stacked-shard arrays (S, local, ...): axis 0 over rows."""
+        return NamedSharding(self.mesh, P(AXIS, *([None] * (extra_dims + 1))))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def with_dtype(self, dtype) -> "Backend":
+        """Ref: retype_backend (backends.jl:482)."""
+        return replace(self, dtype=dtype)
+
+
+def backends_compatible(a: Backend, b: Backend) -> bool:
+    """Same mesh and index dtype — operands may differ in element dtype
+    (ref: backends_compatible, backends.jl:444)."""
+    return a.mesh == b.mesh and np.dtype(a.index_dtype) == np.dtype(b.index_dtype)
+
+
+def _make_mesh(nshards: int | None, platform: str | None) -> Mesh:
+    devices = jax.devices(platform) if platform else jax.devices()
+    n = nshards if nshards is not None else len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} shards but only {len(devices)} devices")
+    return Mesh(np.asarray(devices[:n]), (AXIS,))
+
+
+def backend_auto(nshards: int | None = None, dtype=np.float64, index_dtype=np.int32,
+                 solver: str = "multifrontal", platform: str | None = None) -> Backend:
+    """Factory over the default platform (ref factories: backend_cpu_mpi etc.,
+    backends.jl:348-432)."""
+    return Backend(_make_mesh(nshards, platform), dtype, index_dtype, solver)
+
+
+def backend_serial(dtype=np.float64, index_dtype=np.int32,
+                   solver: str = "multifrontal") -> Backend:
+    """1-device mesh — the analogue of CommSerial (backends.jl:207-327)."""
+    return Backend(_make_mesh(1, None), dtype, index_dtype, solver)

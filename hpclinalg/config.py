@@ -1,0 +1,30 @@
+"""Global configuration for hpclinalg.
+
+The reference (HPCLinearAlgebra.jl) defaults to Float64/ComplexF64 element
+types (see /root/reference/src/backends.jl:348-376 where factory functions
+default T=Float64). On TPU, float64 is emulated and slow; we therefore make
+x64 support opt-in at import time via `enable_x64()` (tests enable it so the
+reference's 1e-10 tolerances hold on the CPU mesh; TPU benchmarks typically
+run float32/bfloat16).
+"""
+
+from __future__ import annotations
+
+import jax
+
+# Padding granularity for the trailing (lane-adjacent) dimension of padded
+# local shards. 8 matches the float32 sublane size on TPU; padding local
+# shard lengths up to a multiple of this keeps layouts tile-friendly.
+PAD_MULTIPLE = 8
+
+
+def enable_x64() -> None:
+    """Enable 64-bit types (needed to match the reference's Float64 tests)."""
+    jax.config.update("jax_enable_x64", True)
+
+
+def round_up(n: int, m: int = PAD_MULTIPLE) -> int:
+    """Round ``n`` up to a multiple of ``m`` (always at least ``m``)."""
+    if n <= 0:
+        return m
+    return ((n + m - 1) // m) * m

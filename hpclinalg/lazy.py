@@ -1,0 +1,91 @@
+"""LazyTranspose: deferred transpose with the reference's algebra rules.
+
+Reference: lazy transpose algebra (/root/reference/src/sparse.jl:2318-2379,
+vectors.jl:738, dense.jl:952-982): ``At*Bt = transpose(B*A)`` stays lazy;
+``At*B``, ``A*Bt`` and ``At*x`` materialize the (cached) transpose. Dense
+``At*x`` avoids materialization entirely via the partial+psum path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class LazyTranspose:
+    __array_priority__ = 130
+
+    def __init__(self, parent):
+        self.parent = parent
+
+    @property
+    def T(self):
+        return self.parent
+
+    @property
+    def shape(self):
+        m, n = self.parent.shape
+        return (n, m)
+
+    @property
+    def dtype(self):
+        return self.parent.dtype
+
+    @property
+    def backend(self):
+        return self.parent.backend
+
+    def materialize(self):
+        return self.parent.transpose_materialized()
+
+    def __matmul__(self, o):
+        from .dense import DistDenseMatrix
+        from .sparse import DistSparseMatrix
+        from .vector import DistVector
+
+        p = self.parent
+        if isinstance(o, DistVector):
+            if isinstance(p, DistDenseMatrix):
+                return p.rmatvec(o)  # no materialization (dense.jl:1000-1261)
+            return self.materialize() @ o
+        if isinstance(o, LazyTranspose):
+            # At * Bt = (B @ A).T — stays lazy (ref sparse.jl:2318)
+            return LazyTranspose(o.parent @ p)
+        if isinstance(o, (DistSparseMatrix, DistDenseMatrix)):
+            return self.materialize() @ o
+        return NotImplemented
+
+    def __rmatmul__(self, o):
+        # A @ Bt with A dispatching here is handled in container __matmul__
+        return NotImplemented
+
+    def __mul__(self, scalar):
+        if np.isscalar(scalar) or isinstance(scalar, (int, float, complex)):
+            return LazyTranspose(self.parent * scalar)
+        return NotImplemented
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return LazyTranspose(-self.parent)
+
+    def __add__(self, o):
+        if isinstance(o, LazyTranspose):
+            return LazyTranspose(self.parent + o.parent)
+        return self.materialize() + o
+
+    def __sub__(self, o):
+        if isinstance(o, LazyTranspose):
+            return LazyTranspose(self.parent - o.parent)
+        return self.materialize() - o
+
+    def to_numpy(self):
+        mat = self.parent
+        if hasattr(mat, "to_scipy"):
+            return mat.to_scipy().T
+        return mat.to_numpy().T
+
+    def to_scipy(self):
+        return self.parent.to_scipy().T.tocsr()
+
+    def __repr__(self):
+        return f"LazyTranspose({self.parent!r})"

@@ -1,0 +1,91 @@
+"""Row/column reductions over distributed sparse matrices.
+
+Reference: norms/reductions (sparse.jl:2172-2244), sum(dims) (sparse.jl:
+2586), maximum/minimum/mean (sparse.jl:2650-2678), tr (sparse.jl:2723).
+Row-wise reductions are purely local segment sums; column-wise reductions
+reduce into the compressed column space locally and then scatter-ADD to the
+column owners — the owner-computes psum pattern (SURVEY.md §2.3 item 3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache import cached_plan
+from ..partition import padded_size
+
+
+def _row_reduce(A, vals):
+    from ..vector import DistVector
+
+    st = A.structure
+
+    def one(v, ri):
+        return jax.ops.segment_sum(v, ri, num_segments=st.Lrow,
+                                   indices_are_sorted=True)
+
+    y = jax.jit(jax.vmap(one))(vals, st.row_ids_dev)
+    return DistVector(y, st.row_partition, A.backend)
+
+
+def row_sum(A):
+    return _row_reduce(A, A.nzval)
+
+
+def row_abs_sum(A):
+    return _row_reduce(A, jnp.abs(A.nzval))
+
+
+def _col_reduce(A, vals):
+    from ..vector import DistVector
+
+    st = A.structure
+
+    def one(v, cv):
+        return jax.ops.segment_sum(v, cv, num_segments=st.Gpad)
+
+    partial_ = jax.jit(jax.vmap(one))(vals, st.colval_dev)
+
+    def build():
+        # src "partition" is positional: shard s holds len(col_indices[s])
+        # partial sums at slots 0.., destined to global col ids col_indices[s]
+        return scatter_exchange_plan_positional(A)
+
+    plan = cached_plan("colsum_plan", (A.hash, A.backend.key), build)
+    y = plan.apply(partial_, add=True)
+    return DistVector(y, st.col_partition, A.backend)
+
+
+def scatter_exchange_plan_positional(A):
+    from ..parallel.exchange import ExchangePlan
+    from ..partition import global_to_local
+
+    st = A.structure
+    S = A.backend.nshards
+    send = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
+    recv = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
+    for s in range(S):
+        ids = st.col_indices[s]
+        owners, loc = global_to_local(st.col_partition, ids)
+        pos = np.arange(len(ids), dtype=np.int64)
+        for d in range(S):
+            m = owners == d
+            if m.any():
+                send[s][d] = pos[m]
+                recv[d][s] = loc[m]
+    return ExchangePlan(A.backend, send, recv, padded_size(st.col_partition))
+
+
+def col_sum(A):
+    return _col_reduce(A, A.nzval)
+
+
+def col_abs_sum(A):
+    return _col_reduce(A, jnp.abs(A.nzval))
+
+
+def trace(A):
+    """tr(A) (ref sparse.jl:2723)."""
+    return A.diag(0).sum()

@@ -1,0 +1,152 @@
+"""ExchangePlan: the universal static data-movement primitive.
+
+Every communication pattern in the reference is a memoized two-phase plan:
+(1) an Alltoall/Isend handshake exchanging counts and index lists at plan
+time, (2) allocation-free Isend/Irecv of value payloads at execution time
+(SURVEY.md §2.4; e.g. VectorPlan /root/reference/src/vectors.jl:229-463,
+TransposePlan sparse.jl:1519-1829, SparseRepartitionPlan sparse.jl:4098-4536).
+
+On TPU the structure metadata is host-replicated, so phase (1) is pure local
+numpy — no handshake exists. Phase (2) compiles to ONE static collective:
+
+    per shard s:  buf[d]  = payload[send_idx[s, d]]          (local take)
+                  recv    = all_to_all(buf)  over axis "rows"
+                  out     = zeros.at[recv_pos[s]].set(recv)   (local scatter)
+
+with all counts padded to a common static width so the executable is shape-
+stable and memoizable. Invalid (padding) receive positions point out of
+bounds and are dropped by the scatter (`mode="drop"`). The output buffer's
+padding region is therefore guaranteed zero — the global padding invariant.
+
+One jitted executable per (mesh, payload rank, shapes) is shared by ALL
+plans — the analogue of the reference's disjoint-MPI-tag discipline is
+simply separate index arrays.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..backend import AXIS, Backend
+from ..config import round_up
+
+
+@lru_cache(maxsize=None)
+def _exchange_fn(mesh, extra_dims: int, with_base: bool, add: bool):
+    """Jitted all_to_all exchange for payloads of rank 1+extra_dims per slot.
+
+    with_base: scatter into a provided base array instead of zeros (setindex
+    paths). add: scatter-add instead of overwrite (assembly paths)."""
+    pay_spec = P(AXIS, *([None] * (1 + extra_dims)))
+
+    def body(x, send_idx, recv_pos, base, out_pad):
+        # x: (1, L, ...); send_idx/recv_pos: (1, S, C)
+        S, C = send_idx.shape[1], send_idx.shape[2]
+        trail = x.shape[2:]
+        buf = jnp.take(x[0], send_idx[0].reshape(-1), axis=0)
+        buf = buf.reshape((S, C) + trail)
+        recv = jax.lax.all_to_all(buf, AXIS, split_axis=0, concat_axis=0)
+        flat = recv.reshape((S * C,) + trail)
+        out = base[0] if with_base else jnp.zeros((out_pad,) + trail, x.dtype)
+        at = out.at[recv_pos[0].reshape(-1)]
+        out = at.add(flat, mode="drop") if add else at.set(flat, mode="drop")
+        return out[None]
+
+    @partial(jax.jit, static_argnums=(4,))
+    def run(x, send_idx, recv_pos, base, out_pad):
+        in_specs = (pay_spec, P(AXIS, None, None), P(AXIS, None, None))
+        args = (x, send_idx, recv_pos)
+        if with_base:
+            in_specs = in_specs + (pay_spec,)
+            args = args + (base,)
+            fn = lambda x_, si, rp, b: body(x_, si, rp, b, out_pad)
+        else:
+            fn = lambda x_, si, rp: body(x_, si, rp, None, out_pad)
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=pay_spec)(*args)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _local_permute_fn(with_base: bool, add: bool):
+    """Jitted purely-local take+scatter (no collective) for plans where every
+    shard only moves data within itself — the CommSerial / 1-device fast path
+    and e.g. repartitions onto an identical partition."""
+
+    @partial(jax.jit, static_argnums=(4,))
+    def run(x, send_idx, recv_pos, base, out_pad):
+        # x: (S, L, ...); send_idx/recv_pos: (S, C)
+        trail = x.shape[2:]
+        buf = jax.vmap(lambda xs, ix: jnp.take(xs, ix, axis=0))(x, send_idx)
+        out = base if with_base else jnp.zeros((x.shape[0], out_pad) + trail, x.dtype)
+        if add:
+            out = jax.vmap(lambda o, p, b: o.at[p].add(b, mode="drop"))(out, recv_pos, buf)
+        else:
+            out = jax.vmap(lambda o, p, b: o.at[p].set(b, mode="drop"))(out, recv_pos, buf)
+        return out
+
+    return run
+
+
+class ExchangePlan:
+    """A compiled static exchange.
+
+    Host inputs:
+      send[s][d]     : np int array — local slot indices on shard s to ship to d
+      recv_pos[d][s] : np int array — output slots on shard d for data from s
+                       (same length as send[s][d]; positions unique per shard)
+      out_len        : logical output-buffer length per shard (padded up
+                       internally; padding slots stay zero)
+    """
+
+    def __init__(self, backend: Backend, send, recv_pos, out_len: int):
+        S = backend.nshards
+        self.backend = backend
+        self.out_len = int(out_len)
+        self.out_pad = round_up(self.out_len)
+
+        counts = np.zeros((S, S), dtype=np.int64)
+        for s in range(S):
+            for d in range(S):
+                counts[s, d] = len(send[s][d])
+        self.counts = counts
+        self.local_only = bool(np.all(counts[~np.eye(S, dtype=bool)] == 0)) if S > 1 else True
+
+        if self.local_only:
+            C = max(1, round_up(int(np.diag(counts).max() if S else 0), 8))
+            si = np.zeros((S, C), dtype=np.int32)
+            rp = np.full((S, C), self.out_pad, dtype=np.int32)  # out of bounds -> drop
+            for s in range(S):
+                c = counts[s, s]
+                si[s, :c] = send[s][s]
+                rp[s, :c] = recv_pos[s][s]
+        else:
+            C = max(1, round_up(int(counts.max()), 8))
+            si = np.zeros((S, S, C), dtype=np.int32)
+            rp = np.full((S, S, C), self.out_pad, dtype=np.int32)
+            for s in range(S):
+                for d in range(S):
+                    c = counts[s, d]
+                    si[s, d, :c] = send[s][d]
+                    rp[d, s, :c] = recv_pos[d][s]
+
+        sh = backend.row_sharding(si.ndim - 2)
+        self.send_idx = jax.device_put(si, sh)
+        self.recv_pos = jax.device_put(rp, sh)
+
+    def apply(self, x: jax.Array, base: jax.Array | None = None, add: bool = False) -> jax.Array:
+        """x: stacked shards (S, L, ...). Returns (S, out_pad, ...) with the
+        exchanged payload scattered to its destination slots; remaining slots
+        are zero, or copied from ``base`` when provided. ``add=True`` scatter-
+        adds (for assembly patterns with overlapping destinations)."""
+        with_base = base is not None
+        if self.local_only:
+            fn = _local_permute_fn(with_base, add)
+        else:
+            fn = partial(_exchange_fn(self.backend.mesh, x.ndim - 2, with_base, add))
+        return fn(x, self.send_idx, self.recv_pos, base, self.out_pad)

@@ -1,0 +1,129 @@
+"""Fill-reducing orderings for the direct solver.
+
+The reference delegates ordering to METIS inside MUMPS (ICNTL(7)=5,
+/root/reference/src/mumps_factorization.jl:176-185). There is no vendor
+ordering on TPU, so we implement Approximate Minimum Degree from scratch:
+the production path is native C++ (native/amd.cpp, loaded via ctypes); a
+pure-numpy reverse Cuthill-McKee fallback keeps the solver functional if
+the native library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+
+
+@lru_cache(maxsize=1)
+def _load_amd():
+    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libhpcamd.so"))
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "amd.cpp"))
+    if not os.path.exists(so) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
+    ):
+        if not os.path.exists(src):
+            return None
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                check=True, capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.amd_order.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+        ]
+        lib.amd_order.restype = ctypes.c_int
+        return lib
+    except OSError:
+        return None
+
+
+def symmetrize_pattern(indptr, indices, n):
+    """Pattern of A + Aᵀ without the diagonal, CSR."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(
+        (np.ones(len(indices)), indices, indptr), shape=(n, n)
+    )
+    B = A + A.T
+    B = sp.csr_matrix(B)
+    B.setdiag(0)
+    B.eliminate_zeros()
+    B.sort_indices()
+    return B.indptr.astype(np.int64), B.indices.astype(np.int64)
+
+
+def amd_order(indptr, indices, n) -> np.ndarray:
+    """Fill-reducing permutation (new-to-old) of a symmetric pattern."""
+    ip, ix = symmetrize_pattern(indptr, indices, n)
+    lib = _load_amd()
+    if lib is not None:
+        perm = np.zeros(n, dtype=np.int64)
+        rc = lib.amd_order(n, ip, ix, perm)
+        if rc == 0:
+            return perm
+    return rcm_order(ip, ix, n)
+
+
+def rcm_order(indptr, indices, n) -> np.ndarray:
+    """Reverse Cuthill-McKee, from scratch — BFS from a pseudo-peripheral
+    vertex, neighbors visited by increasing degree."""
+    deg = np.diff(indptr)
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+    comps = np.argsort(deg, kind="stable")
+    for seed in comps:
+        if visited[seed]:
+            continue
+        # pseudo-peripheral: a couple of BFS sweeps
+        root = int(seed)
+        for _ in range(2):
+            lvl = _bfs_last_level(root, indptr, indices, visited)
+            if lvl is None:
+                break
+            root = lvl
+        queue = [root]
+        visited[root] = True
+        while queue:
+            v = queue.pop(0)
+            order[pos] = v
+            pos += 1
+            nbrs = indices[indptr[v]: indptr[v + 1]]
+            nbrs = nbrs[~visited[nbrs]]
+            nbrs = nbrs[np.argsort(deg[nbrs], kind="stable")]
+            for u in nbrs:
+                if not visited[u]:
+                    visited[u] = True
+                    queue.append(int(u))
+    return order[::-1].copy()
+
+
+def _bfs_last_level(root, indptr, indices, visited_mask):
+    seen = visited_mask.copy()
+    seen[root] = True
+    frontier = [root]
+    last = root
+    while frontier:
+        nxt = []
+        for v in frontier:
+            for u in indices[indptr[v]: indptr[v + 1]]:
+                if not seen[u]:
+                    seen[u] = True
+                    nxt.append(int(u))
+        if nxt:
+            last = nxt[-1]
+        frontier = nxt
+    return last
