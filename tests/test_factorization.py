@@ -1,0 +1,146 @@
+"""Direct solver — mirrors test_factorization.jl's scenarios: LU/LDLT on
+small, SPD, indefinite, 2D Laplacian, block-diagonal; factorization reuse;
+transpose/adjoint solve; complex; mixed partitions."""
+
+import numpy as np
+import scipy.sparse as sp
+
+import hpclinalg as hl
+from utils import assert_close, random_sparse, rand_vector, tolerance
+
+
+def laplace2d(k, dtype=np.float64):
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(k, k))
+    I = sp.eye(k)
+    return (sp.kron(I, T) + sp.kron(T, I)).tocsr().astype(dtype)
+
+
+def _resid(A, x, b):
+    return np.linalg.norm(A @ x - b) / np.linalg.norm(b)
+
+
+def test_ldlt_small_spd(cfg):
+    be, dtype = cfg
+    A = laplace2d(5, dtype)  # 25x25 SPD
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        A = (A + 0.3j * sp.eye(25)).tocsr()  # complex symmetric
+    b = rand_vector(25, dtype)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    bd = hl.DistVector.from_global(b, be, dtype=dtype)
+    x = hl.ldlt(Ad).solve(bd)
+    assert _resid(A, x.to_numpy(), b) < tolerance(dtype)
+    assert np.array_equal(x.partition, Ad.row_partition)
+
+
+def test_ldlt_indefinite(be4):
+    A = (laplace2d(6) - 2.7 * sp.eye(36)).tocsr()
+    b = rand_vector(36)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    x = hl.ldlt(Ad).solve(hl.DistVector.from_global(b, be4))
+    assert _resid(A, x.to_numpy(), b) < 1e-8
+
+
+def test_lu_unsymmetric(cfg):
+    be, dtype = cfg
+    rng = np.random.default_rng(101)
+    A = (laplace2d(6, dtype) +
+         sp.random(36, 36, 0.05, random_state=rng).astype(dtype)).tocsr()
+    b = rand_vector(36, dtype)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    x = hl.lu(Ad).solve(hl.DistVector.from_global(b, be, dtype=dtype))
+    assert _resid(A, x.to_numpy(), b) < tolerance(dtype)
+
+
+def test_lu_transpose_solve(be4):
+    rng = np.random.default_rng(102)
+    A = (laplace2d(5) + sp.random(25, 25, 0.08, random_state=rng)).tocsr()
+    b = rand_vector(25)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    F = hl.lu(Ad)
+    xt = F.solve(hl.DistVector.from_global(b, be4), transpose=True)
+    assert np.linalg.norm(A.T @ xt.to_numpy() - b) / np.linalg.norm(b) < 1e-10
+
+
+def test_laplacian_100(be4):
+    A = laplace2d(10)  # n=100
+    b = rand_vector(100)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    x = hl.ldlt(Ad).solve(hl.DistVector.from_global(b, be4))
+    assert _resid(A, x.to_numpy(), b) < 1e-10
+
+
+def test_blockdiag_system(be4):
+    A = sp.block_diag([laplace2d(4), laplace2d(5), 3 * sp.eye(7)]).tocsr()
+    n = A.shape[0]
+    b = rand_vector(n)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    x = hl.ldlt(Ad).solve(hl.DistVector.from_global(b, be4))
+    assert _resid(A, x.to_numpy(), b) < 1e-10
+
+
+def test_factorization_reuse(be4):
+    """Factor once, solve many (ref: solve/solve!, mumps_factorization.jl:291)."""
+    A = laplace2d(7)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    F = hl.ldlt(Ad)
+    for seed in (1, 2, 3):
+        b = rand_vector(49, seed=seed)
+        x = F.solve(hl.DistVector.from_global(b, be4))
+        assert _resid(A, x.to_numpy(), b) < 1e-10
+
+
+def test_refactorize(be4):
+    """Same pattern, new values -> symbolic reuse (ref: _refactorize_and_solve!,
+    mumps_factorization.jl:404)."""
+    A = laplace2d(7)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    F = hl.ldlt(Ad)
+    A2d = Ad * 4.0
+    F.refactorize(A2d)
+    b = rand_vector(49)
+    x = F.solve(hl.DistVector.from_global(b, be4))
+    assert np.linalg.norm(4 * (A @ x.to_numpy()) - b) / np.linalg.norm(b) < 1e-10
+
+
+def test_backslash_cache(be4):
+    A = laplace2d(6)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    b = rand_vector(36)
+    bd = hl.DistVector.from_global(b, be4)
+    x1 = hl.solve(Ad, bd)
+    assert _resid(A, x1.to_numpy(), b) < 1e-10
+    n0 = hl.cache_sizes().get("backslash", 0)
+    x2 = hl.solve(Ad * 2.0, bd)  # same pattern, new values -> refactorize hit
+    assert hl.cache_sizes().get("backslash", 0) == n0
+    assert np.linalg.norm(2 * (A @ x2.to_numpy()) - b) / np.linalg.norm(b) < 1e-10
+
+
+def test_complex_lu(be4):
+    rng = np.random.default_rng(103)
+    base = laplace2d(5).astype(np.complex128)
+    A = (base + 1j * sp.random(25, 25, 0.1, random_state=rng)).tocsr()
+    bez = be4.with_dtype(np.complex128)
+    b = rand_vector(25, np.complex128)
+    Ad = hl.DistSparseMatrix.from_scipy(A, bez, dtype=np.complex128)
+    x = hl.lu(Ad).solve(hl.DistVector.from_global(b, bez, dtype=np.complex128))
+    assert _resid(A, x.to_numpy(), b) < 1e-10
+
+
+def test_solve_with_asymmetric_partition(be4):
+    A = laplace2d(6)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4,
+                                        row_partition=np.array([0, 3, 20, 30, 36]))
+    b = rand_vector(36)
+    x = hl.solve(Ad, hl.DistVector.from_global(b, be4))
+    assert _resid(A, x.to_numpy(), b) < 1e-10
+
+
+def test_finalize(be4):
+    import pytest
+
+    A = laplace2d(4)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    F = hl.ldlt(Ad)
+    F.finalize()
+    with pytest.raises(RuntimeError):
+        F.solve(hl.DistVector.from_global(rand_vector(16), be4))

@@ -1,0 +1,110 @@
+"""Indexing — mirrors test_indexing.jl (~30 cases: range get/set, fancy
+with distributed index vectors, matrix slicing, scalar rejection)."""
+
+import numpy as np
+import pytest
+
+import hpclinalg as hl
+from utils import assert_close, assert_padding_zero, random_sparse, rand_vector
+
+
+def test_vector_slice(cfg):
+    be, dtype = cfg
+    x = rand_vector(40, dtype)
+    v = hl.DistVector.from_global(x, be, dtype=dtype)
+    for sl in (slice(3, 27), slice(0, 40), slice(5, 6), slice(2, 38, 3)):
+        got = v[sl]
+        assert_close(got.to_numpy(), x[sl], dtype)
+        assert_padding_zero(got)
+
+
+def test_vector_fancy(cfg):
+    be, dtype = cfg
+    x = rand_vector(30, dtype)
+    v = hl.DistVector.from_global(x, be, dtype=dtype)
+    idx = np.array([4, 1, 28, 7, 7, 0])
+    assert_close(v[idx].to_numpy(), x[idx], dtype)
+    # distributed index vector (ref indexing.jl:1339)
+    iv = hl.DistVector.from_global(idx.astype(np.float64), be)
+    got = v[iv]
+    assert_close(got.to_numpy(), x[idx], dtype)
+    assert np.array_equal(got.partition, iv.partition)
+
+
+def test_vector_setindex_slice(cfg):
+    be, dtype = cfg
+    x = rand_vector(24, dtype)
+    v = hl.DistVector.from_global(x, be, dtype=dtype)
+    v[3:9] = 7.0
+    xe = x.copy()
+    xe[3:9] = 7.0
+    assert_close(v.to_numpy(), xe, dtype)
+    assert_padding_zero(v)
+    w = rand_vector(5, dtype, seed=71)
+    v[10:15] = hl.DistVector.from_global(w, be, dtype=dtype)
+    xe[10:15] = w
+    assert_close(v.to_numpy(), xe, dtype)
+
+
+def test_vector_setindex_fancy(be4):
+    x = rand_vector(20)
+    v = hl.DistVector.from_global(x, be4)
+    idx = np.array([2, 15, 9])
+    vals = np.array([10.0, 20.0, 30.0])
+    v[idx] = vals
+    xe = x.copy()
+    xe[idx] = vals
+    assert_close(v.to_numpy(), xe, np.float64)
+
+
+def test_scalar_indexing_rejected(be4):
+    """Ref: scalar indexing deliberately removed (indexing.jl:17-21)."""
+    v = hl.DistVector.from_global(rand_vector(10), be4)
+    with pytest.raises(TypeError):
+        v[3]
+    A = hl.DistSparseMatrix.from_scipy(random_sparse(10, 10, 0.3, seed=72), be4)
+    with pytest.raises(TypeError):
+        A[3, 4]
+
+
+def test_sparse_range_indexing(cfg):
+    be, dtype = cfg
+    A = random_sparse(30, 25, 0.2, dtype, seed=73)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    S = Ad[5:22, 3:20]
+    assert_close(S.to_scipy().toarray(), A[5:22, 3:20].toarray(), dtype)
+    S2 = Ad[0:30, 10:11]
+    assert_close(S2.to_scipy().toarray(), A[:, 10:11].toarray(), dtype)
+
+
+def test_sparse_fancy_indexing(cfg):
+    be, dtype = cfg
+    A = random_sparse(20, 20, 0.3, dtype, seed=74)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    ridx = np.array([3, 11, 0, 19])
+    cidx = np.array([5, 2, 18])
+    S = Ad[ridx, cidx]
+    assert_close(S.to_scipy().toarray(), A[np.ix_(ridx, cidx)].toarray(), dtype)
+    # mixed range x fancy
+    S2 = Ad[4:16, cidx]
+    assert_close(S2.to_scipy().toarray(), A[4:16][:, cidx].toarray(), dtype)
+    S3 = Ad[ridx, 0:20]
+    assert_close(S3.to_scipy().toarray(), A[ridx].toarray(), dtype)
+
+
+def test_sparse_fancy_with_distvector(be4):
+    A = random_sparse(18, 18, 0.3, seed=75)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    ridx = np.array([1, 7, 13])
+    iv = hl.DistVector.from_global(ridx.astype(float), be4)
+    S = Ad[iv, 0:18]
+    assert_close(S.to_scipy().toarray(), A[ridx].toarray(), np.float64)
+
+
+def test_indexing_plan_reuse(be4):
+    x = rand_vector(32)
+    v = hl.DistVector.from_global(x, be4)
+    n0 = hl.cache_sizes().get("vec_getindex", 0)
+    _ = v[4:20]
+    _ = v[4:20]
+    assert hl.cache_sizes().get("vec_getindex", 0) == n0 + 1

@@ -1,0 +1,130 @@
+"""Extended sparse API — mirrors test_sparse_api.jl (structural queries,
+elementwise, reductions, diag/triu/tril, spdiagm, issymmetric)."""
+
+import numpy as np
+import scipy.sparse as sp
+
+import hpclinalg as hl
+from utils import assert_close, random_sparse, rand_vector, tridiagonal_matrix
+
+
+def test_structural_queries(cfg):
+    be, dtype = cfg
+    A = random_sparse(20, 26, 0.2, dtype, seed=51)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    assert Ad.nnz() == A.nnz
+    assert Ad.shape == (20, 26)
+    assert Ad.dtype == np.dtype(dtype)
+
+
+def test_norms(cfg):
+    be, dtype = cfg
+    A = random_sparse(18, 18, 0.25, dtype, seed=52)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    assert_close(Ad.norm(), sp.linalg.norm(A), dtype)
+    assert_close(Ad.norm(1), np.abs(A.toarray()).sum(), dtype)
+    assert_close(Ad.opnorm(np.inf), np.abs(A.toarray()).sum(axis=1).max(), dtype)
+    assert_close(Ad.opnorm(1), np.abs(A.toarray()).sum(axis=0).max(), dtype)
+
+
+def test_elementwise(cfg):
+    import jax.numpy as jnp
+
+    be, dtype = cfg
+    A = random_sparse(15, 15, 0.3, dtype, seed=53)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    assert_close(abs(Ad).to_scipy().toarray(), np.abs(A.toarray()), dtype)
+    assert_close(Ad.conj().to_scipy().toarray(), A.conj().toarray(), dtype)
+    assert_close(Ad.real().to_scipy().toarray(), A.toarray().real, dtype)
+    assert_close((Ad * 3.0).to_scipy().toarray(), 3 * A.toarray(), dtype)
+    assert_close((Ad / 2.0).to_scipy().toarray(), A.toarray() / 2, dtype)
+    assert_close((-Ad).to_scipy().toarray(), -A.toarray(), dtype)
+    M = Ad.map_nonzeros(lambda v: v ** 2)
+    assert_close(M.to_scipy().toarray(), A.multiply(A).toarray(), dtype)
+
+
+def test_sum_dims(cfg):
+    be, dtype = cfg
+    A = random_sparse(17, 23, 0.25, dtype, seed=54)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    assert_close(Ad.sum(), A.sum(), dtype)
+    assert_close(Ad.sum(axis=1).to_numpy(), np.asarray(A.sum(axis=1)).ravel(), dtype)
+    assert_close(Ad.sum(axis=0).to_numpy(), np.asarray(A.sum(axis=0)).ravel(), dtype)
+
+
+def test_trace_diag(cfg):
+    be, dtype = cfg
+    A = random_sparse(21, 21, 0.3, dtype, seed=55) + sp.eye(21, dtype=dtype)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    assert_close(Ad.tr(), A.diagonal().sum(), dtype)
+    for k in (0, 1, -2, 5):
+        assert_close(Ad.diag(k).to_numpy(), A.diagonal(k), dtype)
+
+
+def test_triu_tril(cfg):
+    be, dtype = cfg
+    A = random_sparse(19, 19, 0.3, dtype, seed=56)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    for k in (0, 1, -1, 3):
+        assert_close(Ad.triu(k).to_scipy().toarray(), sp.triu(A, k).toarray(), dtype)
+        assert_close(Ad.tril(k).to_scipy().toarray(), sp.tril(A, k).toarray(), dtype)
+
+
+def test_dropzeros(be4):
+    A = random_sparse(16, 16, 0.3, seed=57)
+    A.data[::3] = 0.0
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    D = Ad.dropzeros()
+    Aref = A.copy()
+    Aref.eliminate_zeros()
+    assert D.nnz() == Aref.nnz
+    assert_close(D.to_scipy().toarray(), Aref.toarray(), np.float64)
+
+
+def test_spdiagm(cfg):
+    be, dtype = cfg
+    v = rand_vector(20, dtype)
+    dv = hl.DistVector.from_global(v, be, dtype=dtype)
+    D = hl.spdiagm(dv)
+    assert_close(D.to_scipy().toarray(), np.diag(v), dtype)
+    # fast path: cached structure for the main diagonal
+    n0 = hl.cache_sizes().get("diag_structure", 0)
+    D2 = hl.spdiagm(dv * 2.0)
+    assert hl.cache_sizes().get("diag_structure", 0) == n0
+    assert_close(D2.to_scipy().toarray(), np.diag(2 * v), dtype)
+
+
+def test_spdiagm_offsets(be4):
+    v = rand_vector(12)
+    dv = hl.DistVector.from_global(v, be4)
+    D = hl.spdiagm((1, dv), (-2, dv))
+    ref = np.zeros((14, 14))
+    ref[np.arange(12), np.arange(12) + 1] += v
+    ref[np.arange(12) + 2, np.arange(12)] += v
+    assert_close(D.to_scipy().toarray(), ref, np.float64)
+
+
+def test_issymmetric(cfg):
+    be, dtype = cfg
+    A = random_sparse(14, 14, 0.3, dtype, seed=58)
+    S = A + A.T
+    Sd = hl.DistSparseMatrix.from_scipy(S, be, dtype=dtype)
+    assert Sd.issymmetric()
+    N = S.copy().tolil()
+    N[0, 5] = N[0, 5] + 1.0
+    Nd = hl.DistSparseMatrix.from_scipy(N.tocsr(), be, dtype=dtype)
+    assert not Nd.issymmetric()
+
+
+def test_issymmetric_asymmetric_partitions(be4):
+    """Ref: issymmetric with asymmetric partitions (test_factorization.jl)."""
+    A = random_sparse(16, 16, 0.3, seed=59)
+    S = A + A.T
+    Sd = hl.DistSparseMatrix.from_scipy(
+        S.tocsr(), be4, row_partition=np.array([0, 2, 9, 15, 16]))
+    assert Sd.issymmetric()
+
+
+def test_speye(be4):
+    I = hl.speye(13, be4)
+    assert_close(I.to_scipy().toarray(), np.eye(13), np.float64)
