@@ -27,10 +27,10 @@ from .sparse import DistSparseMatrix
 from .dense import DistDenseMatrix
 from .lazy import LazyTranspose
 from .ops.repartition import repartition_dense, repartition_vector
-from .ops.sparse_build import spdiagm, speye, sprand_dist
+from .ops.sparse_build import spdiagm, speye, sprand_dist, spzeros
 from .ops.blocks import blockdiag, cat_sparse, hcat_sparse, vcat_sparse
 from .ops.map_rows import map_rows, vertex_indices
-from .solve.api import BackslashCache, Factorization, ldlt, lu, solve
+from .solver.api import BackslashCache, Factorization, ldlt, lu, solve
 from .utils.io import io0
 
 __all__ = [
@@ -39,7 +39,7 @@ __all__ = [
     "partition_hash", "sparse_structural_hash", "dense_structural_hash",
     "uniform_partition", "DistVector", "DistSparseMatrix", "DistDenseMatrix",
     "LazyTranspose", "repartition_vector", "repartition_dense",
-    "spdiagm", "speye", "sprand_dist", "blockdiag", "cat_sparse",
+    "spdiagm", "speye", "sprand_dist", "spzeros", "blockdiag", "cat_sparse",
     "hcat_sparse", "vcat_sparse", "map_rows", "vertex_indices",
     "Factorization", "BackslashCache", "lu", "ldlt", "solve", "io0",
 ]

@@ -89,3 +89,35 @@ def col_abs_sum(A):
 def trace(A):
     """tr(A) (ref sparse.jl:2723)."""
     return A.diag(0).sum()
+
+
+def _nnz_mask(A):
+    st = A.structure
+    return st.row_ids_dev < st.Lrow
+
+
+def maximum(A):
+    """max over ALL entries incl. implicit zeros when the matrix is not full
+    (ref sparse.jl:2650-2678 semantics)."""
+    import jax.numpy as jnp
+
+    m = _nnz_mask(A)
+    stored = jnp.max(jnp.where(m, A.nzval, -jnp.inf))
+    full = A.nnz() == A.m * A.ncols
+    return stored if full else jnp.maximum(stored, jnp.zeros((), A.dtype))
+
+
+def minimum(A):
+    import jax.numpy as jnp
+
+    m = _nnz_mask(A)
+    stored = jnp.min(jnp.where(m, A.nzval, jnp.inf))
+    full = A.nnz() == A.m * A.ncols
+    return stored if full else jnp.minimum(stored, jnp.zeros((), A.dtype))
+
+
+def mean(A):
+    """Mean over all m*n entries (implicit zeros count)."""
+    import jax.numpy as jnp
+
+    return jnp.sum(A.nzval) / (A.m * A.ncols)

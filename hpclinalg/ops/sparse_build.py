@@ -116,6 +116,21 @@ def build_diag(v, n: int):
     return DistSparseMatrix(st, nz, backend)
 
 
+def spzeros(m: int, n: int, backend, row_partition=None, dtype=None):
+    """All-zero sparse matrix (ref: spzeros-equivalent via zeros,
+    HPCLinearAlgebra.jl:1430-1467)."""
+    from ..sparse import DistSparseMatrix
+
+    rp = (validate_partition(row_partition, m) if row_partition is not None
+          else uniform_partition(m, backend.nshards))
+    parts = []
+    for s in range(backend.nshards):
+        nl = int(rp[s + 1] - rp[s])
+        parts.append((np.zeros(nl + 1, dtype=np.int64), np.zeros(0, np.int64),
+                      np.zeros(0)))
+    return DistSparseMatrix.from_local_csr(parts, n, backend, dtype=dtype)
+
+
 def sprand_dist(m: int, n: int, density: float, backend, dtype=None, seed: int = 0):
     """Distributed random sparse matrix (test/bench helper; the reference
     builds these via Julia sprand in its tests)."""

@@ -4,25 +4,69 @@ Reference semantics (/root/reference/src/mumps_factorization.jl,
 HPCLinearAlgebra.jl:626-744):
   * ``lu(A)`` / ``ldlt(A)`` return a Factorization; ``F.solve(b)`` solves.
   * ``solve(A, b)`` (the ``A \\ b`` analogue) consults a global cache keyed
-    by (structural hash, symmetric, dtype): a hit re-uses the symbolic
-    analysis and only refreshes values + refactorizes (mumps_factorization.
-    jl:404: _refactorize_and_solve!, O(nnz) value refresh via nzval_perm).
+    by (structural hash, kind, dtype): a hit re-uses the symbolic analysis
+    and only refreshes values + refactorizes — the O(nnz) ``nzval_perm``
+    value-refresh trick (mumps_factorization.jl:105-140, 386-391) is
+    implemented as a cached CSR->permuted-CSC data permutation.
   * transpose/adjoint solves and ``finalize!`` are supported.
 
-Static pivoting is compensated by iterative refinement in ``solve`` using
-the DEVICE distributed SpMV for residuals — refinement is the standard
-companion of static pivoting (SuperLU_DIST-style) and keeps the accuracy at
-the reference's tolerance on its test problems.
-"""
+Numeric phases run in the native C++ engine (native/mf.cpp, BLAS fronts)
+for float64/complex128, with the numpy multifrontal as fallback. Static
+pivoting is compensated by iterative refinement using the DEVICE
+distributed SpMV for residuals — the standard companion of static pivoting
+(SuperLU_DIST-style)."""
 
 from __future__ import annotations
 
 import numpy as np
 
 from ..cache import cached_plan, plan_cache
-from .multifrontal import NumericFactor, factorize, solve_factored
+from .multifrontal import NumericFactor, factorize, solve_factored, _PERT_REL
+from .native import NativeFactor, load_mf
 from .ordering import amd_order
 from .symbolic import SymbolicFactor, analyze
+
+
+def _get_symbolic(A) -> SymbolicFactor:
+    """Symbolic analysis cached per sparsity pattern — shared by lu/ldlt and
+    every refactorization (the expensive, comm-free phase)."""
+
+    def build():
+        A_csr = A.to_scipy()
+        perm = amd_order(A_csr.indptr.astype(np.int64),
+                         A_csr.indices.astype(np.int64), A.m)
+        return analyze(A_csr, perm)
+
+    return cached_plan("symbolic", (A.hash,), build)
+
+
+def _get_perm_csc(A, sym):
+    """Cached permuted-CSC pattern + the CSR-data -> permuted-CSC-data map
+    (the reference's nzval_perm, mumps_factorization.jl:105-140)."""
+
+    def build():
+        import scipy.sparse as sp
+
+        A_csr = A.to_scipy()  # structure only; values refreshed per factorize
+        n = A.m
+        coo = A_csr.tocoo()
+        r2 = sym.iperm[coo.row]
+        c2 = sym.iperm[coo.col]
+        order = np.lexsort((r2, c2))  # CSC: by column, then row
+        indices = r2[order].astype(np.int64)
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, c2[order] + 1, 1)
+        indptr = np.cumsum(indptr).astype(np.int64)
+        return indptr, indices, order.astype(np.int64)
+
+    return cached_plan("solver_perm", (A.hash,), build)
+
+
+class _CSCView:
+    __slots__ = ("indptr", "indices", "data")
+
+    def __init__(self, indptr, indices, data):
+        self.indptr, self.indices, self.data = indptr, indices, data
 
 
 class Factorization:
@@ -34,10 +78,24 @@ class Factorization:
         self.kind = kind
         self.backend = A.backend
         self.structural_hash = A.hash
-        A_csr = A.to_scipy()
-        self.sym = _get_symbolic(A, kind)
-        self.num: NumericFactor | None = factorize(self.sym, A_csr, kind)
-        self.dtype = A_csr.dtype
+        self.dtype = np.dtype(np.complex128 if np.issubdtype(
+            np.dtype(A.dtype), np.complexfloating) else np.float64)
+        self.sym = _get_symbolic(A)
+        self._lib = load_mf()
+        self.native: NativeFactor | None = (
+            NativeFactor(self.sym, self.dtype) if self._lib is not None else None)
+        self.num: NumericFactor | None = None
+        self._numeric(A)
+
+    def _numeric(self, A):
+        vals = _csr_values(A).astype(self.dtype)
+        if self.native is not None:
+            indptr, indices, nzmap = _get_perm_csc(A, self.sym)
+            eps = _PERT_REL * max(float(np.abs(vals).max()) if vals.size else 1.0, 1.0)
+            csc = _CSCView(indptr, indices, np.ascontiguousarray(vals[nzmap]))
+            self.native.factorize(self._lib, csc, self.kind, eps)
+        else:
+            self.num = factorize(self.sym, A.to_scipy(), self.kind)
 
     # -- refactorization: same pattern, new values (ref: job=2 re-run,
     # mumps_factorization.jl:386-396) --------------------------------------
@@ -45,10 +103,15 @@ class Factorization:
         if A.hash != self.structural_hash:
             raise ValueError("refactorize requires the same sparsity pattern")
         self.A = A
-        self.num = factorize(self.sym, A.to_scipy(), self.kind)
+        self._numeric(A)
         return self
 
-    def solve(self, b, transpose: bool = False, refine: int = 2):
+    def _solve_host(self, bh: np.ndarray, transpose: bool) -> np.ndarray:
+        if self.native is not None:
+            return self.native.solve(self._lib, bh, transpose=transpose)
+        return solve_factored(self.num, bh, transpose=transpose)
+
+    def solve(self, b, transpose: bool = False, refine: int | None = None):
         """Solve A x = b (or Aᵀ x = b). b: DistVector or host array; returns
         the same flavor, partitioned like A's rows. The RHS is gathered to
         host — the analogue of the reference's Gatherv-to-rank-0 MUMPS path
@@ -56,64 +119,59 @@ class Factorization:
         is the planned device-solve upgrade."""
         from ..vector import DistVector
 
-        if self.num is None:
+        if self.native is None and self.num is None:
             raise RuntimeError("factorization was finalized")
+        if refine is None:
+            refine = 1 if self.n_perturbed == 0 else 3
         is_dist = isinstance(b, DistVector)
         bh = b.to_numpy() if is_dist else np.asarray(b)
         dtype = np.result_type(bh.dtype, self.dtype)
-        x = solve_factored(self.num, bh.astype(dtype), transpose=transpose)
+        x = self._solve_host(bh.astype(self.dtype), transpose).astype(dtype)
 
         if refine > 0:
             A = self.A
             Aop = A.transpose_materialized() if transpose else A
-            xd = DistVector.from_global(x, self.backend, partition=A.row_partition,
-                                        dtype=dtype)
-            bd = (b.repartition(A.row_partition) if is_dist
-                  else DistVector.from_global(bh, self.backend,
-                                              partition=A.row_partition, dtype=dtype))
             for _ in range(refine):
-                r = bd - Aop @ xd  # device SpMV residual
-                rh = r.to_numpy()
-                if not np.isfinite(rh).all():
-                    break
-                dx = solve_factored(self.num, rh.astype(dtype), transpose=transpose)
-                x = x + dx
                 xd = DistVector.from_global(x, self.backend,
                                             partition=A.row_partition, dtype=dtype)
-            x = xd.to_numpy()
+                bd_minus_Ax = bh - (Aop @ xd).to_numpy()  # device SpMV residual
+                if not np.isfinite(bd_minus_Ax).all():
+                    break
+                dx = self._solve_host(bd_minus_Ax.astype(self.dtype), transpose)
+                x = x + dx.astype(dtype)
 
         if is_dist:
             return DistVector.from_global(x, self.backend,
                                           partition=self.A.row_partition, dtype=dtype)
         return x
 
-    def solve_transpose(self, b, refine: int = 2):
+    def solve_transpose(self, b, refine: int | None = None):
         return self.solve(b, transpose=True, refine=refine)
 
     def finalize(self):
         """Release numeric data (ref: finalize!, mumps_factorization.jl:421)."""
         self.num = None
+        self.native = None
 
     @property
     def n_perturbed(self) -> int:
+        if self.native is not None:
+            return self.native.n_perturbed
         return self.num.n_perturbed if self.num else 0
 
     def __repr__(self):
         return (f"Factorization(kind={self.kind}, n={self.A.m}, "
-                f"nsuper={self.sym.nsuper}, lnz={self.sym.lnz})")
+                f"nsuper={self.sym.nsuper}, lnz={self.sym.lnz}, "
+                f"native={self.native is not None})")
 
 
-def _get_symbolic(A, kind: str) -> SymbolicFactor:
-    """Symbolic analysis cached per sparsity pattern — shared by lu/ldlt and
-    every refactorization (the expensive, comm-free phase)."""
-
-    def build():
-        A_csr = A.to_scipy()
-        perm = amd_order(A_csr.indptr.astype(np.int64),
-                         A_csr.indices.astype(np.int64), A.m)
-        return analyze(A_csr, perm)
-
-    return cached_plan("symbolic", (A.hash,), build)
+def _csr_values(A) -> np.ndarray:
+    """Host copy of A's values in global CSR order (matches to_scipy().data)."""
+    st = A.structure
+    nz = np.asarray(A.nzval)
+    return np.concatenate([nz[s, : st.nnz_local[s]]
+                           for s in range(A.backend.nshards)]) if A.backend.nshards \
+        else np.zeros(0, A.dtype)
 
 
 def ldlt(A) -> Factorization:

@@ -1,0 +1,141 @@
+"""ctypes bridge to the native multifrontal engine (native/mf.cpp).
+
+The reference reaches MUMPS through MUMPS.jl's ccall layer
+(/root/reference/src/mumps_factorization.jl); this is the same boundary,
+pointed at our own from-scratch C++ engine. BLAS is resolved at runtime
+from scipy's bundled OpenBLAS (the dependency MUMPS itself links).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import glob
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+_NATIVE_DIR = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+
+
+def _blas_path() -> str | None:
+    import scipy
+
+    libs = glob.glob(os.path.join(os.path.dirname(os.path.dirname(scipy.__file__)),
+                                  "scipy.libs", "libscipy_openblas*.so"))
+    if libs:
+        return libs[0]
+    for cand in ("/usr/lib/x86_64-linux-gnu/libopenblas.so.0",
+                 "/usr/lib/x86_64-linux-gnu/libblas.so.3"):
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+@lru_cache(maxsize=1)
+def load_mf():
+    so = os.path.join(_NATIVE_DIR, "libhpcmf.so")
+    src = os.path.join(_NATIVE_DIR, "mf.cpp")
+    if (not os.path.exists(so)) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
+    ):
+        if not os.path.exists(src):
+            return None
+        try:
+            subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                            "-o", so, src, "-ldl"],
+                           check=True, capture_output=True)
+        except Exception:
+            return None
+    blas = _blas_path()
+    if blas is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.mf_init.argtypes = [ctypes.c_char_p]
+    lib.mf_init.restype = ctypes.c_int
+    if lib.mf_init(blas.encode()) != 0:
+        return None
+
+    for suffix, dt in (("d", np.float64), ("z", np.complex128)):
+        fp = np.ctypeslib.ndpointer(dt, flags="C")
+        f = getattr(lib, f"mf_factorize_{suffix}")
+        f.argtypes = [ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
+                      _i64p, _i64p, _i64p, fp, _i64p, _i64p, fp, fp, fp, fp,
+                      fp, ctypes.c_int, ctypes.c_double]
+        f.restype = ctypes.c_int64
+        s = getattr(lib, f"mf_solve_{suffix}")
+        s.argtypes = [ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
+                      _i64p, _i64p, fp, fp, fp, fp, fp, ctypes.c_int,
+                      ctypes.c_int, fp]
+        s.restype = None
+    return lib
+
+
+class NativeFactor:
+    """Packed supernodal factors + the symbolic layout arrays the C engine
+    consumes. Reusable across refactorizations (same pattern)."""
+
+    def __init__(self, sym, dtype):
+        self.sym = sym
+        self.dtype = np.dtype(np.complex128 if np.issubdtype(dtype, np.complexfloating)
+                              else np.float64)
+        ns = sym.nsuper
+        self.snode_ptr = np.ascontiguousarray(sym.snode_ptr, dtype=np.int64)
+        nrs = np.array([len(r) for r in sym.snode_rows], dtype=np.int64)
+        ncs = np.diff(self.snode_ptr)
+        self.rows_ptr = np.concatenate([[0], np.cumsum(nrs)]).astype(np.int64)
+        self.rows = (np.concatenate(sym.snode_rows).astype(np.int64)
+                     if ns and self.rows_ptr[-1] else np.zeros(0, np.int64))
+        self.sparent = np.ascontiguousarray(sym.snode_parent, dtype=np.int64)
+        self.l11_off = np.concatenate([[0], np.cumsum(ncs * ncs)]).astype(np.int64)[:-1]
+        self.l21_off = np.concatenate([[0], np.cumsum(nrs * ncs)]).astype(np.int64)[:-1]
+        n11 = int((ncs * ncs).sum())
+        n21 = int((nrs * ncs).sum())
+        self.L11 = np.zeros(max(n11, 1), dtype=self.dtype)
+        self.L21 = np.zeros(max(n21, 1), dtype=self.dtype)
+        self.D = np.zeros(max(sym.n, 1), dtype=self.dtype)
+        self.U11 = np.zeros(1, dtype=self.dtype)
+        self.U12 = np.zeros(1, dtype=self.dtype)
+        self.kind = None
+        self.n_perturbed = 0
+
+    def _fn(self, lib, name):
+        suffix = "z" if self.dtype == np.complex128 else "d"
+        return getattr(lib, f"mf_{name}_{suffix}")
+
+    def factorize(self, lib, Ap_csc, kind: str, eps: float) -> int:
+        if kind == "lu" and self.U11.size == 1:
+            self.U11 = np.zeros(self.L11.size, dtype=self.dtype)
+            self.U12 = np.zeros(self.L21.size, dtype=self.dtype)
+        self.kind = kind
+        Ax = np.ascontiguousarray(Ap_csc.data, dtype=self.dtype)
+        rc = self._fn(lib, "factorize")(
+            self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
+            self.rows, self.sparent,
+            Ap_csc.indptr.astype(np.int64), Ap_csc.indices.astype(np.int64),
+            Ax, self.l11_off, self.l21_off,
+            self.L11, self.L21, self.D, self.U11, self.U12,
+            0 if kind == "ldlt" else 1, eps,
+        )
+        if rc < 0:
+            raise RuntimeError(f"native factorization failed: {rc}")
+        self.n_perturbed = int(rc)
+        return self.n_perturbed
+
+    def solve(self, lib, b: np.ndarray, transpose: bool = False) -> np.ndarray:
+        y = np.ascontiguousarray(b[self.sym.perm], dtype=self.dtype)
+        self._fn(lib, "solve")(
+            self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
+            self.rows, self.l11_off, self.l21_off,
+            self.L11, self.L21, self.D, self.U11, self.U12,
+            0 if self.kind == "ldlt" else 1, 1 if transpose else 0, y,
+        )
+        x = np.empty_like(y)
+        x[self.sym.perm] = y
+        return x

@@ -72,6 +72,62 @@ def postorder(parent, n):
     return order
 
 
+def _amalgamate(snode_ptr, col_struct, counts, n, relax,
+                zeros_frac: float = 0.3, small: int = 16):
+    """Greedy chain amalgamation over column-adjacent supernode blocks.
+
+    A block [a,b) may merge into the next block [b,b2) iff the first below-
+    diagonal row of its last column lands inside [b,b2) — then, by the etree
+    containment property, the merged block's rows equal the parent block's
+    rows and only explicit zeros are added. Merge when those zeros are under
+    ``zeros_frac`` of the merged storage (always merge tiny children).
+    ``counts[j]`` is updated to the RELAXED below-diagonal count so chained
+    decisions stay exact. Right-to-left sweep reaches the fixpoint in one
+    pass because merges only ever extend a block to the right.
+    """
+    starts = list(snode_ptr[:-1])
+    k = len(starts) - 1
+    final_bounds = [n]
+    b2 = n
+    while k >= 0:
+        a2 = starts[k]  # current rightmost unmerged block is [a2, b2)
+        phys = int(counts[a2:b2].sum())  # physical L entries of the block
+        zeros = 0                        # accumulated explicit zeros in them
+        # try to absorb blocks on the left into [a2, b2)
+        while k - 1 >= 0:
+            a = starts[k - 1]
+            b = a2
+            cs = col_struct[b - 1]
+            if len(cs) == 0 or not (a2 <= cs[0] < b2):
+                break
+            nc_c, nc_p = b - a, b2 - a2
+            rows_p = int(counts[b2 - 1])  # rows below the parent block
+            s_c = int(counts[a:b].sum())
+            merged_child_store = nc_c * (nc_c - 1) // 2 + nc_c * (nc_p + rows_p)
+            extra = merged_child_store - s_c
+            new_phys = phys + merged_child_store
+            new_zeros = zeros + extra
+            # cumulative budget: explicit zeros stay a bounded fraction of the
+            # block's physical storage — prevents the root front swallowing
+            # the whole matrix (each single merge looks cheap next to a big
+            # parent; the running ratio does not)
+            if ((nc_c <= 2 and nc_p <= small and new_zeros <= max(
+                    4 * relax, zeros_frac * new_phys)) or
+                    new_zeros <= zeros_frac * new_phys or
+                    new_zeros <= relax):
+                for j in range(a, b):
+                    counts[j] = (b - j - 1) + nc_p + rows_p
+                a2 = a
+                phys, zeros = new_phys, new_zeros
+                k -= 1
+            else:
+                break
+        final_bounds.append(a2)
+        b2 = a2
+        k -= 1
+    return np.array(sorted(final_bounds), dtype=np.int64)
+
+
 @dataclass
 class SymbolicFactor:
     n: int
@@ -139,18 +195,22 @@ def analyze(A_csr: sp.csr_matrix, perm: np.ndarray,
 
     counts = np.array([len(s) for s in col_struct], dtype=np.int64)
 
-    # --- fundamental supernodes + relaxed amalgamation -----------------------
+    # --- fundamental supernodes ----------------------------------------------
     snode_start = [0]
     for j in range(1, n):
-        fundamental = (par[j - 1] == j) and (counts[j - 1] == counts[j] + 1) \
-            and (len(children[j]) == 1)
-        if fundamental:
-            continue
-        # relaxed: merge anyway if fill increase is small
-        if par[j - 1] == j and counts[j - 1] <= counts[j] + 1 + relax:
-            continue
-        snode_start.append(j)
+        fundamental = (par[j - 1] == j) and (counts[j - 1] == counts[j] + 1)
+        if not fundamental:
+            snode_start.append(j)
     snode_ptr = np.array(snode_start + [n], dtype=np.int64)
+
+    # --- relaxed amalgamation over the supernode tree -------------------------
+    # Merging is only possible between column-adjacent supernodes where the
+    # parent supernode starts exactly where the child ends (then merged rows
+    # = parent rows, by the etree containment property). Extra explicit
+    # zeros are accepted when they are a small fraction of the merged
+    # storage — MUMPS-style relaxation that fattens fronts for BLAS3/MXU
+    # (ref: MUMPS amalgamation behind ICNTL, mumps_factorization.jl:176).
+    snode_ptr = _amalgamate(snode_ptr, col_struct, counts, n, relax)
     nsuper = len(snode_ptr) - 1
     snode_of = np.zeros(n, dtype=np.int64)
     for k in range(nsuper):

@@ -392,6 +392,23 @@ class DistSparseMatrix:
 
         return reductions.trace(self)
 
+    def maximum(self):
+        """Max over all entries incl. implicit zeros (ref sparse.jl:2650)."""
+        from .ops import reductions
+
+        return reductions.maximum(self)
+
+    def minimum(self):
+        from .ops import reductions
+
+        return reductions.minimum(self)
+
+    def mean(self):
+        """Mean over all m*n entries (ref sparse.jl:2678)."""
+        from .ops import reductions
+
+        return reductions.mean(self)
+
     def diag(self, k: int = 0):
         from .ops import diagonal
 
