@@ -44,7 +44,8 @@ def gather_exchange_plan(
                 recv[d][s] = pos[m]
     if out_len is None:
         out_len = round_up(maxlen)
-    return ExchangePlan(backend, send, recv, out_len)
+    return ExchangePlan(backend, send, recv, out_len,
+                        src_sizes=partition_sizes(src_partition))
 
 
 def scatter_exchange_plan(

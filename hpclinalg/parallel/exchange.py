@@ -93,6 +93,21 @@ def _local_permute_fn(with_base: bool, add: bool):
     return run
 
 
+@lru_cache(maxsize=None)
+def _identity_pad_fn():
+    @partial(jax.jit, static_argnums=(1,))
+    def run(x, out_pad):
+        L = x.shape[1]
+        if out_pad == L:
+            return x
+        if out_pad < L:
+            return x[:, :out_pad]
+        pad = [(0, 0), (0, out_pad - L)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, pad)
+
+    return run
+
+
 class ExchangePlan:
     """A compiled static exchange.
 
@@ -104,7 +119,8 @@ class ExchangePlan:
                        internally; padding slots stay zero)
     """
 
-    def __init__(self, backend: Backend, send, recv_pos, out_len: int):
+    def __init__(self, backend: Backend, send, recv_pos, out_len: int,
+                 src_sizes=None):
         S = backend.nshards
         self.backend = backend
         self.out_len = int(out_len)
@@ -116,6 +132,19 @@ class ExchangePlan:
                 counts[s, d] = len(send[s][d])
         self.counts = counts
         self.local_only = bool(np.all(counts[~np.eye(S, dtype=bool)] == 0)) if S > 1 else True
+        # identity fast path: every shard keeps ALL of its own data in place
+        # (send = recv = arange(local size)) — the exchange degenerates to a
+        # pad/slice (crucial on TPU, where an element-wise scatter of the
+        # local block would cost ~ms). Requires knowing the source's valid
+        # lengths, so only plans built with src_sizes can qualify.
+        self.is_identity = (
+            src_sizes is not None and self.local_only and all(
+                len(send[s][s]) == int(src_sizes[s])
+                and np.array_equal(send[s][s], np.arange(int(src_sizes[s])))
+                and np.array_equal(recv_pos[s][s], np.arange(int(src_sizes[s])))
+                for s in range(S)
+            )
+        )
 
         if self.local_only:
             C = max(1, round_up(int(np.diag(counts).max() if S else 0), 8))
@@ -145,6 +174,8 @@ class ExchangePlan:
         are zero, or copied from ``base`` when provided. ``add=True`` scatter-
         adds (for assembly patterns with overlapping destinations)."""
         with_base = base is not None
+        if self.is_identity and not with_base and not add:
+            return _identity_pad_fn()(x, self.out_pad)
         if self.local_only:
             fn = _local_permute_fn(with_base, add)
         else:

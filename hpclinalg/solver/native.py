@@ -21,6 +21,44 @@ _NATIVE_DIR = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
 
 
+def build_native_lib(name: str, src_name: str, extra: tuple = ()):
+    """Compile native/<src_name> into native/lib<name>.so if stale; return a
+    CDLL or None. Shared by every native component (AMD, symbolic, mf)."""
+    so = os.path.join(_NATIVE_DIR, f"lib{name}.so")
+    src = os.path.join(_NATIVE_DIR, src_name)
+    if not os.path.exists(src):
+        return None
+    if (not os.path.exists(so)) or os.path.getmtime(src) > os.path.getmtime(so):
+        try:
+            subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                            "-o", so, src, *extra],
+                           check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        return ctypes.CDLL(so)
+    except OSError:
+        return None
+
+
+@lru_cache(maxsize=1)
+def load_sym():
+    """Symbolic-analysis kernels (native/sym.cpp)."""
+    lib = build_native_lib("hpcsym", "sym.cpp")
+    if lib is None:
+        return None
+    lib.sym_etree.argtypes = [ctypes.c_int64, _i64p, _i64p, _i64p]
+    lib.sym_etree.restype = ctypes.c_int
+    lib.sym_postorder.argtypes = [ctypes.c_int64, _i64p, _i64p]
+    lib.sym_postorder.restype = ctypes.c_int
+    lib.sym_counts.argtypes = [ctypes.c_int64, _i64p, _i64p, _i64p, _i64p, _i64p]
+    lib.sym_counts.restype = ctypes.c_int
+    lib.sym_snode_rows.argtypes = [ctypes.c_int64, ctypes.c_int64, _i64p, _i64p,
+                                   _i64p, _i64p, ctypes.c_int64, _i64p, _i64p]
+    lib.sym_snode_rows.restype = ctypes.c_int64
+    return lib
+
+
 def _blas_path() -> str | None:
     import scipy
 
