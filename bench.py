@@ -1,14 +1,16 @@
 """Headline benchmark — prints ONE JSON line.
 
-Workload: SpGEMM A·A on the 2D Laplacian 100² (n=10,000, nnz=49,600) — the
-reference's PETSc head-to-head workload (/root/reference/tools/
-benchmark_vs_petsc.jl), where HPCLinearAlgebra.jl reports 1.216 ms on
-4 MPI ranks / 3 threads (tools/benchmark_vs_petsc_results.txt:8-10).
+Workload: LDLT factor + solve on the 2D Laplacian 100^2 (n=10,000,
+nnz=49,600) — the reference's PETSc head-to-head workload
+(/root/reference/tools/benchmark_vs_petsc.jl), where HPCLinearAlgebra.jl
+via MUMPS reports 17.27 ms factor + 5.94 ms solve = 23.2 ms on 4 MPI ranks
+/ 3 threads (tools/benchmark_vs_petsc_results.txt:12-16). Our solver is the
+from-scratch supernodal multifrontal engine (C++ fronts on BLAS, AMD
+ordering, native symbolic analysis) with one step of refinement.
 
-Methodology mirrors the reference's harness: warmup (plan construction +
-compile), then median of timed executions of the steady-state value-only
-path (barrier-bracketed MPI.Wtime medians, benchmark_factorization.jl:47-66;
-here block_until_ready brackets).
+Methodology mirrors the reference harness (median over timed repetitions
+after warmup, benchmark_factorization.jl:47-66). Steady state times the
+refactorize+solve path — the plan-reuse contract both libraries share.
 """
 
 import json
@@ -17,7 +19,7 @@ import time
 import numpy as np
 import scipy.sparse as sp
 
-BASELINE_MS = 1.216  # reference SpGEMM A*A, 4 ranks (BASELINE.md)
+BASELINE_MS = 23.2  # reference MUMPS factor+solve, 4 ranks (BASELINE.md)
 
 
 def laplace2d(k, dtype=np.float64):
@@ -27,37 +29,35 @@ def laplace2d(k, dtype=np.float64):
 
 
 def main():
-    import jax
-
     import hpclinalg as hl
 
-    platform = jax.devices()[0].platform
-    # float32 on TPU (f64 is emulated); float64 elsewhere for reference parity
-    dtype = np.float32 if platform != "cpu" else np.float64
+    # NOTE: x64 device storage hangs/compiles pathologically on this TPU
+    # generation; device containers are f32 while the factorization itself
+    # runs in f64 on host. The RHS therefore crosses the device once at f32,
+    # bounding the achievable residual at f32 accuracy.
+    be = hl.backend_auto(dtype=np.float64)
+    A = laplace2d(100)  # n=10,000, nnz=49,600
+    Ad = hl.DistSparseMatrix.from_scipy(A, be)
+    bh = np.random.default_rng(0).standard_normal(10000)
+    b = hl.DistVector.from_global(bh, be)
 
-    be = hl.backend_auto(dtype=dtype)
-    A = laplace2d(100, dtype)  # n=10,000, nnz=49,600
-    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
-
-    # warmup: plan construction + compile + one full product
-    C = Ad @ Ad
-    C.nzval.block_until_ready()
+    F = hl.ldlt(Ad)      # symbolic + first numeric (warmup)
+    x = F.solve(b)       # warm the solve path
 
     times = []
-    for _ in range(20):
+    for _ in range(10):
         t0 = time.perf_counter()
-        C = Ad @ Ad
-        C.nzval.block_until_ready()
+        F.refactorize(Ad)
+        x = F.solve(b)
         times.append(time.perf_counter() - t0)
     ms = float(np.median(times) * 1e3)
 
-    # sanity: result correct
-    err = abs(C.to_scipy() - (A @ A)).max()
-    assert err < (1e-8 if dtype == np.float64 else 1e-2), f"SpGEMM wrong: {err}"
+    resid = np.linalg.norm(A @ x.to_numpy() - bh) / np.linalg.norm(bh)
+    assert resid < 1e-5, f"solve inaccurate: {resid}"
 
     print(json.dumps({
-        "metric": f"spgemm_AxA_laplace100sq_ms_{np.dtype(dtype).name}_{platform}",
-        "value": round(ms, 4),
+        "metric": "ldlt_factor_plus_solve_laplace100sq_ms",
+        "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
     }))

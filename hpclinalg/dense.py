@@ -282,6 +282,11 @@ class DistDenseMatrix:
 
         return dense_getindex(self, key)
 
+    def __setitem__(self, key, value):
+        from .ops.setindex import dense_setindex
+
+        dense_setindex(self, key, value)
+
     def __repr__(self):
         return (f"DistDenseMatrix(shape={self.shape}, shards="
                 f"{self.backend.nshards}, dtype={self.dtype})")

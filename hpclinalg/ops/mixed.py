@@ -28,7 +28,7 @@ def _get_row_gather_plan(A, B):
     )
 
 
-from functools import partial
+from functools import lru_cache, partial
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -41,16 +41,65 @@ def _spmm_local(nzval, colval, row_ids, gathered, Lrow):
     return jax.vmap(one)(nzval, colval, row_ids, gathered)
 
 
+@lru_cache(maxsize=None)
+def _dia_spmm_exec(offsets: tuple, Lrow: int, bias_lo: int, bias_hi: int,
+                   pad_to: int = 0):
+    """DIA engine for row payloads: C[:, r, :] = Σ_o dval[:,o,r,None] *
+    gathered[:, r+o, :] — the multi-column generalization of the SpMV
+    stencil kernel, still free of gathers/scatters."""
+
+    @jax.jit
+    def run(dval, gathered):
+        if pad_to:
+            L = gathered.shape[1]
+            if pad_to < L:
+                gathered = gathered[:, :pad_to]
+            elif pad_to > L:
+                gathered = jnp.pad(gathered, ((0, 0), (0, pad_to - L), (0, 0)))
+        dt = jnp.result_type(dval.dtype, gathered.dtype)
+        dval = dval.astype(dt)
+        gathered = gathered.astype(dt)
+        gp = jnp.pad(gathered, ((0, 0), (bias_lo, bias_hi), (0, 0))) \
+            if (bias_lo or bias_hi) else gathered
+        S, _, k = gathered.shape
+        y = jnp.zeros((S, Lrow, k), dt)
+        for i, o in enumerate(offsets):
+            xs = jax.lax.slice(gp, (0, bias_lo + o, 0), (S, bias_lo + o + Lrow, k))
+            y = y + dval[:, i, :, None] * xs
+        return y
+
+    return run
+
+
 def sparse_times_dense(A, B):
-    """C = A_sp @ B_dn (ref sparse.jl:2391-2424, redesigned)."""
+    """C = A_sp @ B_dn (ref sparse.jl:2391-2424, redesigned: one row-payload
+    gather + stencil/segment kernel instead of column-by-column SpMVs)."""
     from ..dense import DistDenseMatrix
+    from .spmv import SpMVPlan, _dia_values
+    from ..cache import cached_plan
 
     if A.ncols != B.m:
         raise ValueError("dimension mismatch")
     st = A.structure
-    plan = _get_row_gather_plan(A, B)
-    gathered = plan.apply(B.data)  # (S, Gpad, k)
-    C = _spmm_local(A.nzval, st.colval_dev, st.row_ids_dev, gathered, st.Lrow)
+
+    def build():
+        exchange = _get_row_gather_plan(A, B)
+        return SpMVPlan(A, B.row_partition_hash, exchange)
+
+    plan = cached_plan("spmm_plan", (A.hash, B.row_partition_hash, A.backend.key),
+                       build)
+    if plan.offsets is not None:
+        dval = _dia_values(A, plan)
+        if plan.exchange.is_identity:
+            C = _dia_spmm_exec(plan.offsets, st.Lrow, plan.bias_lo, plan.bias_hi,
+                               pad_to=plan.exchange.out_pad)(dval, B.data)
+        else:
+            gathered = plan.exchange.apply(B.data)
+            C = _dia_spmm_exec(plan.offsets, st.Lrow, plan.bias_lo,
+                               plan.bias_hi)(dval, gathered)
+    else:
+        gathered = plan.exchange.apply(B.data)  # (S, Gpad, k)
+        C = _spmm_local(A.nzval, st.colval_dev, st.row_ids_dev, gathered, st.Lrow)
     return DistDenseMatrix(C, st.row_partition, B.ncols, A.backend)
 
 

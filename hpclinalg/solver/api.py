@@ -80,6 +80,7 @@ class Factorization:
         self.structural_hash = A.hash
         self.dtype = np.dtype(np.complex128 if np.issubdtype(
             np.dtype(A.dtype), np.complexfloating) else np.float64)
+        self._A_host = None
         self.sym = _get_symbolic(A)
         self._lib = load_mf()
         self.native: NativeFactor | None = (
@@ -89,6 +90,14 @@ class Factorization:
 
     def _numeric(self, A):
         vals = _csr_values(A).astype(self.dtype)
+        # host CSR copy for refinement residuals (values refreshed with the
+        # factorization; structure cached). Host residuals avoid device
+        # round-trips and f32 truncation on TPUs without x64.
+        if self._A_host is None:
+            self._A_host = A.to_scipy().astype(self.dtype)
+            self._A_host.sort_indices()
+        else:
+            self._A_host.data[:] = vals
         if self.native is not None:
             indptr, indices, nzmap = _get_perm_csc(A, self.sym)
             eps = _PERT_REL * max(float(np.abs(vals).max()) if vals.size else 1.0, 1.0)
@@ -126,19 +135,18 @@ class Factorization:
         is_dist = isinstance(b, DistVector)
         bh = b.to_numpy() if is_dist else np.asarray(b)
         dtype = np.result_type(bh.dtype, self.dtype)
-        x = self._solve_host(bh.astype(self.dtype), transpose).astype(dtype)
+        bh = bh.astype(self.dtype)
+        x = self._solve_host(bh, transpose)
 
-        if refine > 0:
-            A = self.A
-            Aop = A.transpose_materialized() if transpose else A
-            for _ in range(refine):
-                xd = DistVector.from_global(x, self.backend,
-                                            partition=A.row_partition, dtype=dtype)
-                bd_minus_Ax = bh - (Aop @ xd).to_numpy()  # device SpMV residual
-                if not np.isfinite(bd_minus_Ax).all():
-                    break
-                dx = self._solve_host(bd_minus_Ax.astype(self.dtype), transpose)
-                x = x + dx.astype(dtype)
+        # iterative refinement with host residuals in full precision — no
+        # device round-trips, exact f64 regardless of the TPU's x64 mode
+        Ah = self._A_host.T if transpose else self._A_host
+        for _ in range(refine):
+            r = bh - Ah @ x
+            if not np.isfinite(r).all():
+                break
+            x = x + self._solve_host(r, transpose)
+        x = x.astype(dtype)
 
         if is_dist:
             return DistVector.from_global(x, self.backend,

@@ -459,6 +459,11 @@ class DistSparseMatrix:
 
         return sparse_index.sparse_getindex(self, key)
 
+    def __setitem__(self, key, value):
+        from .ops import setindex
+
+        setindex.sparse_setindex(self, key, value)
+
     def __repr__(self):
         return (f"DistSparseMatrix(shape={self.shape}, nnz={self.nnz()}, "
                 f"shards={self.backend.nshards}, dtype={self.dtype})")

@@ -108,3 +108,49 @@ def test_indexing_plan_reuse(be4):
     _ = v[4:20]
     _ = v[4:20]
     assert hl.cache_sizes().get("vec_getindex", 0) == n0 + 1
+
+
+def test_sparse_setindex(be4):
+    import scipy.sparse as sp
+
+    A = random_sparse(16, 16, 0.2, seed=76)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    h0 = Ad.hash
+    Ad[2:6, 3:9] = 5.0
+    ref = A.tolil()
+    ref[2:6, 3:9] = 5.0
+    assert_close(Ad.to_scipy().toarray(), ref.toarray(), np.float64)
+    assert Ad.hash != h0  # structural change invalidated identity
+    # ops still work after mutation
+    x = rand_vector(16)
+    xv = hl.DistVector.from_global(x, be4)
+    assert_close((Ad @ xv).to_numpy(), ref.tocsr() @ x, np.float64)
+
+
+def test_sparse_setindex_block(be4):
+    import scipy.sparse as sp
+
+    A = random_sparse(14, 14, 0.25, seed=77)
+    B = random_sparse(4, 5, 0.5, seed=78)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    Bd = hl.DistSparseMatrix.from_scipy(B, be4)
+    Ad[1:5, 2:7] = Bd
+    ref = A.tolil()
+    ref[1:5, 2:7] = B.toarray()
+    assert_close(Ad.to_scipy().toarray(), ref.toarray(), np.float64)
+
+
+def test_dense_setindex(be4):
+    from utils import dense_matrix
+
+    M = dense_matrix(12, 8)
+    Md = hl.DistDenseMatrix.from_global(M, be4)
+    Md[3:7, 2:5] = -1.5
+    ref = M.copy()
+    ref[3:7, 2:5] = -1.5
+    assert_close(Md.to_numpy(), ref, np.float64)
+    ridx = np.array([0, 10])
+    vals = np.arange(16.0).reshape(2, 8)
+    Md[ridx, 0:8] = vals
+    ref[ridx] = vals
+    assert_close(Md.to_numpy(), ref, np.float64)
