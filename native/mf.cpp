@@ -29,6 +29,7 @@
 #include <cmath>
 #include <complex>
 #include <dlfcn.h>
+#include <unistd.h>
 #include <vector>
 
 using i64 = int64_t;
@@ -65,9 +66,19 @@ typedef void (*ztrsv_t)(const char*, const char*, const char*, const blasint*,
 static dgemm_t dgemm_p; static dtrsm_t dtrsm_p; static dgemv_t dgemv_p; static dtrsv_t dtrsv_p;
 static zgemm_t zgemm_p; static ztrsm_t ztrsm_p; static zgemv_t zgemv_p; static ztrsv_t ztrsv_p;
 
+typedef void (*set_threads_t)(int);
+
 extern "C" int mf_init(const char *blas_path) {
   void *h = dlopen(blas_path, RTLD_NOW | RTLD_GLOBAL);
   if (!h) return -1;
+  // engage OpenBLAS threading for the large frontal GEMMs (MUMPS gets the
+  // same effect from OPENBLAS_NUM_THREADS; guide.md:218-252)
+  auto st = (set_threads_t)dlsym(h, "scipy_openblas_set_num_threads");
+  if (!st) st = (set_threads_t)dlsym(h, "openblas_set_num_threads");
+  if (st) {
+    long nc = sysconf(_SC_NPROCESSORS_ONLN);
+    st((int)(nc > 0 ? nc : 1));
+  }
   auto sym = [&](const char *a, const char *b) -> void * {
     void *p = dlsym(h, a);
     return p ? p : dlsym(h, b);
