@@ -32,6 +32,7 @@ from .ops.blocks import blockdiag, cat_sparse, hcat_sparse, vcat_sparse
 from .ops.map_rows import map_rows, vertex_indices
 from .solver.api import BackslashCache, Factorization, ldlt, lu, solve
 from .utils.io import io0
+from .utils.warmup import Symmetric, warmup
 
 __all__ = [
     "AXIS", "Backend", "backend_auto", "backend_serial", "backends_compatible",
@@ -42,6 +43,7 @@ __all__ = [
     "spdiagm", "speye", "sprand_dist", "spzeros", "blockdiag", "cat_sparse",
     "hcat_sparse", "vcat_sparse", "map_rows", "vertex_indices",
     "Factorization", "BackslashCache", "lu", "ldlt", "solve", "io0",
+    "Symmetric", "warmup",
 ]
 
 __version__ = "0.1.0"

@@ -235,5 +235,10 @@ def _vals_fingerprint(A):
 
 
 def solve(A, b, symmetric: bool | None = None):
-    """``A \\ b`` (ref: Base.:\\, HPCLinearAlgebra.jl:674)."""
+    """``A \\ b`` (ref: Base.:\\, HPCLinearAlgebra.jl:674). Wrapping A in
+    hl.Symmetric asserts symmetry (ref: Symmetric dispatch)."""
+    from ..utils.warmup import Symmetric
+
+    if isinstance(A, Symmetric):
+        return BackslashCache.solve(A.A, b, symmetric=True)
     return BackslashCache.solve(A, b, symmetric=symmetric)

@@ -116,6 +116,22 @@ class DistVector:
         return DistVector(jax.device_put(out, backend.row_sharding()), p, backend)
 
     @staticmethod
+    def ones(n: int, backend: Backend, partition=None, dtype=None) -> "DistVector":
+        return DistVector.from_global(np.ones(n), backend, partition=partition,
+                                      dtype=dtype)
+
+    @staticmethod
+    def full(n: int, value, backend: Backend, partition=None, dtype=None) -> "DistVector":
+        return DistVector.from_global(np.full(n, value), backend,
+                                      partition=partition, dtype=dtype)
+
+    @staticmethod
+    def rand(n: int, backend: Backend, partition=None, dtype=None, seed=0) -> "DistVector":
+        return DistVector.from_global(
+            np.random.default_rng(seed).standard_normal(n), backend,
+            partition=partition, dtype=dtype)
+
+    @staticmethod
     def zeros(n: int, backend: Backend, partition=None, dtype=None) -> "DistVector":
         p = validate_partition(partition, n) if partition is not None else uniform_partition(n, backend.nshards)
         L = padded_size(p)
