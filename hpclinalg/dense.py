@@ -227,13 +227,14 @@ class DistDenseMatrix:
         return LazyTranspose(self)
 
     def transpose_materialized(self) -> "DistDenseMatrix":
-        """Materialized Aᵀ, repartitioned by col_partition (ref:
-        DenseTransposePlan, dense.jl:690-978). Round-1 implementation gathers
-        the full matrix; block all_to_all is a planned optimization."""
-        full = self.to_numpy().T
-        return DistDenseMatrix.from_global(full, self.backend,
-                                           row_partition=self.col_partition,
-                                           dtype=self.dtype)
+        """Materialized Aᵀ over col_partition — a block-cyclic device
+        exchange, the analogue of DenseTransposePlan's pack/transpose/unpack
+        (ref dense.jl:690-978): each shard slices its column window per
+        destination, one all_to_all moves the blocks, and a static take
+        reassembles the transposed rows."""
+        from .parallel.dense_transpose import dense_transpose
+
+        return dense_transpose(self)
 
     # -- reductions (ref dense.jl:1367-1454) ------------------------------------
     def sum(self, axis=None):

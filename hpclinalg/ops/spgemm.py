@@ -18,7 +18,7 @@ exactly the reference's plan-reuse contract.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +147,169 @@ class SpGEMMPlan:
         self.pairB = pack(pairsB, self.gpad - 1)
         self.pairO = pack(pairsO, self.structure.NNZpad)
 
+        # stencil-class fast path (diagonal convolution)
+        self.dia = DiaSpGEMMPlan(A, B, self.structure)
+
+
+class DiaSpGEMMPlan:
+    """Diagonal-convolution SpGEMM for stencil-class operands.
+
+    When both patterns decompose into few GLOBAL diagonal offsets (OA, OB),
+    the product's diagonals are
+        dC[oA+oB](i) = Σ dA[oA](i) * dB[oB](i + oA)
+    — pure shifted vector multiplies, no gathers/scatters in the hot path
+    (the same insight as the SpMV DIA engine, applied to SpGEMM). C's CSR
+    values are then one static take from the dC table. Built only when both
+    operands qualify; ``None``-marked otherwise.
+    """
+
+    MAX_OFFSETS = 32
+
+    def __init__(self, A, B, c_structure):
+        self.ok = False
+        stA, stB = A.structure, B.structure
+        S = A.backend.nshards
+        OA = _global_offsets(stA)
+        OB = _global_offsets(stB)
+        OC = _global_offsets(c_structure)
+        if OA is None or OB is None or OC is None:
+            return
+        rowsA = int(np.diff(stA.row_partition).sum())
+        rowsB = int(np.diff(stB.row_partition).sum())
+        if (len(OA) * rowsA > 3 * max(stA.nnz, 1) + 1024 or
+                len(OB) * rowsB > 3 * max(stB.nnz, 1) + 1024):
+            return
+        self.OA, self.OB, self.OC = OA, OB, OC
+        self.Lrow = stA.Lrow
+
+        # dA: (S, OA, LrowA) layout (offset-major); dB: (S, LrowB, OB) layout
+        # (row-major, so the halo window can gather whole rows)
+        self.dA_scatter = _global_dia_scatter(stA, OA, A.backend, row_major=False)
+        self.dB_scatter = _global_dia_scatter(stB, OB, B.backend, row_major=True)
+        self.LrowB = stB.Lrow
+
+        # window of B rows each A-shard needs: [r0 + minOA, r1 + maxOA)
+        self.w_lo = min(OA)
+        w_hi = max(OA)
+        self.W = stA.Lrow + (w_hi - self.w_lo)
+        from .gather import gather_exchange_plan
+        from ..config import round_up
+
+        wanted = []
+        self.w_pos0 = []  # first valid slot in the window per shard
+        nB = stB.shape[0]
+        for s in range(S):
+            r0 = int(stA.row_partition[s])
+            r1 = int(stA.row_partition[s + 1])
+            lo = r0 + self.w_lo
+            hi = r1 + w_hi
+            ids = np.arange(max(lo, 0), min(hi, nB), dtype=np.int64)
+            wanted.append(ids)
+            self.w_pos0.append(max(lo, 0) - lo)  # clip offset
+        # positions: slot (id - lo) in the window buffer
+        self.window_plan = _window_gather_plan(
+            A.backend, stB.row_partition, wanted,
+            [int(stA.row_partition[s]) + self.w_lo for s in range(S)],
+            round_up(self.W))
+
+        # map C nnz (storage order) -> flat dC slot (oc_index * Lrow + row)
+        oc_map = {o: i for i, o in enumerate(OC)}
+        LC = c_structure.Lrow
+        take = np.full((S, c_structure.NNZpad), len(OC) * LC, dtype=np.int32)
+        for s in range(S):
+            r, c = c_structure.global_coo[s]
+            rl = r - c_structure.row_partition[s]
+            offs = c - r
+            oi = np.array([oc_map[o] for o in offs], dtype=np.int64) \
+                if len(offs) else np.zeros(0, np.int64)
+            take[s, : c_structure.nnz_local[s]] = oi * LC + rl
+        self.c_take = jax.device_put(take, A.backend.row_sharding())
+        self.LC = LC
+        self.ok = True
+
+
+def _global_offsets(st):
+    """Distinct global (col - row) offsets, or None if too many."""
+    offs = set()
+    for s in range(len(st.indptr)):
+        r, c = st.global_coo[s]
+        offs.update(np.unique(c - r).tolist())
+        if len(offs) > DiaSpGEMMPlan.MAX_OFFSETS:
+            return None
+    return tuple(sorted(offs))
+
+
+def _global_dia_scatter(st, offsets, backend, row_major: bool):
+    """(S, NNZpad) int32 map from storage order into a flat diagonal table:
+    offset-major (o_index*Lrow + row) or row-major (row*O + o_index)."""
+    omap = {o: i for i, o in enumerate(offsets)}
+    O = len(offsets)
+    S = backend.nshards
+    out = np.full((S, st.NNZpad), O * st.Lrow, dtype=np.int32)
+    for s in range(S):
+        r, c = st.global_coo[s]
+        rl = r - st.row_partition[s]
+        oi = np.array([omap[o] for o in (c - r)], dtype=np.int64) \
+            if len(r) else np.zeros(0, np.int64)
+        out[s, : st.nnz_local[s]] = (rl * O + oi) if row_major else (oi * st.Lrow + rl)
+    return jax.device_put(out, backend.row_sharding())
+
+
+def _window_gather_plan(backend, src_partition, wanted, window_lo, out_len):
+    """Gather global rows ``wanted[d]`` into window slots id - window_lo[d]."""
+    from ..parallel.exchange import ExchangePlan
+    from ..partition import global_to_local
+
+    S = backend.nshards
+    send = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
+    recv = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
+    for d in range(S):
+        ids = wanted[d]
+        owners, loc = global_to_local(src_partition, ids)
+        pos = ids - window_lo[d]
+        for s in range(S):
+            m = owners == s
+            if m.any():
+                send[s][d] = loc[m]
+                recv[d][s] = pos[m]
+    return ExchangePlan(backend, send, recv, out_len)
+
+
+@jax.jit
+def _dia_table(scatter, nzval, zeros):
+    return jax.vmap(lambda z, p, v: z.at[p].set(v, mode="drop"))(zeros, scatter, nzval)
+
+
+@lru_cache(maxsize=None)
+def _dia_spgemm_exec(OA: tuple, OB: tuple, OC: tuple, Lrow: int, W: int,
+                     w_lo: int, LC: int):
+    oc_map = {o: i for i, o in enumerate(OC)}
+
+    @jax.jit
+    def run(dA, dBw, c_take):
+        # dA: (S, OA, Lrow); dBw: (S, W, OB) row-major window of B diagonals
+        S = dA.shape[0]
+        dt = jnp.result_type(dA.dtype, dBw.dtype)
+        dC = [None] * len(OC)
+        for ia, oa in enumerate(OA):
+            # B row (r0 + i + oa) sits at window slot i + (oa - w_lo)
+            base = oa - w_lo
+            for ib, ob in enumerate(OB):
+                oc = oc_map.get(oa + ob)
+                if oc is None:
+                    continue
+                seg = jax.lax.slice(dBw, (0, base, ib),
+                                    (S, base + Lrow, ib + 1))[:, :, 0]
+                term = dA[:, ia, :].astype(dt) * seg.astype(dt)
+                dC[oc] = term if dC[oc] is None else dC[oc] + term
+        zero = jnp.zeros((S, LC), dt)
+        stack = jnp.stack([zero if t is None else t for t in dC], axis=1)
+        flat = jnp.concatenate(
+            [stack.reshape(S, -1), jnp.zeros((S, 1), dt)], axis=1)
+        return jax.vmap(lambda f, t: jnp.take(f, t, axis=0))(flat, c_take)
+
+    return run
+
 
 @partial(jax.jit, static_argnums=(4,))
 def _spgemm_exec(Anz, gathered, pairA, pairB, NNZpad, pairO):
@@ -162,6 +325,25 @@ def get_spgemm_plan(A, B) -> SpGEMMPlan:
     return cached_plan("matrix_plan", key, lambda: SpGEMMPlan(A, B))
 
 
+def _instance_dia_table(M, offsets, row_major, scatter):
+    """Per-value-instance diagonal table, cached on the matrix object."""
+    cache = getattr(M, "_engine_cache", None)
+    if cache is None:
+        cache = M._engine_cache = {}
+    key = ("gdia", offsets, row_major)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    st = M.structure
+    O, L = len(offsets), st.Lrow
+    S = M.backend.nshards
+    zeros = jax.device_put(jnp.zeros((S, O * L), M.dtype), M.backend.row_sharding())
+    tbl = _dia_table(scatter, M.nzval, zeros)
+    tbl = tbl.reshape(S, L, O) if row_major else tbl.reshape(S, O, L)
+    cache[key] = tbl
+    return tbl
+
+
 def spgemm(A, B):
     """C = A @ B (ref: Base.:*, sparse.jl:991-1059). C inherits A's row
     partition and B's col partition, hash computed eagerly at plan time."""
@@ -170,6 +352,14 @@ def spgemm(A, B):
     if A.ncols != B.m:
         raise ValueError(f"dimension mismatch: {A.shape} @ {B.shape}")
     plan = get_spgemm_plan(A, B)
+    if plan.dia.ok:
+        d = plan.dia
+        dA = _instance_dia_table(A, d.OA, False, d.dA_scatter)
+        dB = _instance_dia_table(B, d.OB, True, d.dB_scatter)
+        dBw = d.window_plan.apply(dB)  # (S, Wpad, OB)
+        nz = _dia_spgemm_exec(d.OA, d.OB, d.OC, d.Lrow, d.W, d.w_lo, d.LC)(
+            dA, dBw, d.c_take)
+        return DistSparseMatrix(plan.structure, nz, A.backend)
     dtype = jnp.result_type(A.dtype, B.dtype)
     gathered = plan.value_plan.apply(B.nzval.astype(dtype))
     nz = _spgemm_exec(A.nzval.astype(dtype), gathered, plan.pairA, plan.pairB,
