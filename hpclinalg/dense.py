@@ -226,6 +226,13 @@ class DistDenseMatrix:
 
         return LazyTranspose(self)
 
+    @property
+    def H(self):
+        """Adjoint (ref: adjoint handling, dense.jl:952-982)."""
+        from .lazy import LazyTranspose
+
+        return LazyTranspose(self.conj())
+
     def transpose_materialized(self) -> "DistDenseMatrix":
         """Materialized Aᵀ over col_partition — a block-cyclic device
         exchange, the analogue of DenseTransposePlan's pack/transpose/unpack

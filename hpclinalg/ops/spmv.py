@@ -40,6 +40,10 @@ from .gather import gather_exchange_plan
 # DIA engine limits: max distinct offsets, and max storage blowup vs nnz
 DIA_MAX_OFFSETS = 64
 DIA_FILL_FACTOR = 3.0
+# densify engine: per-shard dense block cap (elements). Small general
+# matrices run fastest as one MXU matvec — random gather/scatter on TPU is
+# ~150M elem/s, the MXU is ~10^14 flop/s.
+DENSE_MAX_ELEMS = 1 << 22
 
 
 class SpMVPlan:
@@ -84,8 +88,22 @@ class SpMVPlan:
             self.bias_lo = max(0, -min(self.offsets))
             need_hi = max(self.offsets) + Lrow - exchange.out_pad
             self.bias_hi = max(0, need_hi)
+            self.densify = False
         else:
             self.offsets = None
+            # small general matrices: densify the local block and ride the MXU
+            self.densify = st.Lrow * exchange.out_pad <= DENSE_MAX_ELEMS
+            if self.densify:
+                scat = np.full((S, st.NNZpad), st.Lrow * exchange.out_pad,
+                               dtype=np.int32)  # padding -> dropped
+                for s in range(S):
+                    nl = len(st.indptr[s]) - 1
+                    rows_local = np.repeat(np.arange(nl, dtype=np.int64),
+                                           np.diff(st.indptr[s]))
+                    scat[s, : st.nnz_local[s]] = (
+                        rows_local * exchange.out_pad
+                        + st.colval[s].astype(np.int64))
+                self.dense_scatter = jax.device_put(scat, A.backend.row_sharding())
 
 
 def get_spmv_plan(A, x) -> SpMVPlan:
@@ -157,6 +175,40 @@ def _dia_exec(offsets: tuple, Lrow: int, bias_lo: int, bias_hi: int,
     return run
 
 
+def _dense_block(A, plan) -> jax.Array:
+    """(S, Lrow, Gpad) densified local block, cached per matrix instance."""
+    cache = getattr(A, "_engine_cache", None)
+    if cache is None:
+        cache = A._engine_cache = {}
+    hit = cache.get(("dense", plan.key))
+    if hit is not None:
+        return hit
+    st = A.structure
+    S = A.backend.nshards
+    G = plan.exchange.out_pad
+    zeros = jax.device_put(jnp.zeros((S, st.Lrow * G), A.dtype),
+                           A.backend.row_sharding())
+    blk = _dia_build(plan.dense_scatter, A.nzval, zeros).reshape(S, st.Lrow, G)
+    cache[("dense", plan.key)] = blk
+    return blk
+
+
+@lru_cache(maxsize=None)
+def _densified_exec(pad_to: int = 0):
+    @jax.jit
+    def run(blk, gathered):
+        if pad_to:
+            L = gathered.shape[1]
+            if pad_to < L:
+                gathered = gathered[:, :pad_to]
+            elif pad_to > L:
+                gathered = jnp.pad(gathered, ((0, 0), (0, pad_to - L)))
+        dt = jnp.result_type(blk.dtype, gathered.dtype)
+        return jnp.einsum("slg,sg->sl", blk.astype(dt), gathered.astype(dt))
+
+    return run
+
+
 @partial(jax.jit, static_argnums=(4,))
 def _local_spmv(nzval, colval, row_ids, gathered, Lrow):
     """Fallback per-shard CSR SpMV as gather + segment-sum (ref kernel:
@@ -189,6 +241,12 @@ def matvec(A, x):
             gathered = plan.exchange.apply(x.data)
             y = _dia_exec(plan.offsets, st.Lrow, plan.bias_lo, plan.bias_hi)(
                 dval, gathered)
+    elif plan.densify:
+        blk = _dense_block(A, plan)
+        if plan.exchange.is_identity:
+            y = _densified_exec(pad_to=plan.exchange.out_pad)(blk, x.data)
+        else:
+            y = _densified_exec()(blk, plan.exchange.apply(x.data))
     else:
         gathered = plan.exchange.apply(x.data)  # (S, Gpad)
         y = _local_spmv(A.nzval, st.colval_dev, st.row_ids_dev, gathered, st.Lrow)

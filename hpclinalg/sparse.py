@@ -349,6 +349,13 @@ class DistSparseMatrix:
 
         return LazyTranspose(self)
 
+    @property
+    def H(self):
+        """Adjoint (conjugate transpose), lazy (ref: adjoint, sparse.jl:2261)."""
+        from .lazy import LazyTranspose
+
+        return LazyTranspose(self.conj())
+
     def transpose_materialized(self) -> "DistSparseMatrix":
         from .ops import transpose
 
