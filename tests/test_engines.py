@@ -1,0 +1,89 @@
+"""Engine selection and engine-specific correctness (DIA / densify /
+segment-sum for SpMV; diagonal-convolution / pair engine for SpGEMM).
+
+These pin down the TPU-first design decisions: the engines must agree
+exactly with each other and with the scipy oracle on every pattern class.
+"""
+
+import numpy as np
+import scipy.sparse as sp
+
+import hpclinalg as hl
+from hpclinalg.ops.spmv import get_spmv_plan
+from hpclinalg.ops.spgemm import get_spgemm_plan
+from utils import assert_close, rand_vector, tridiagonal_matrix
+
+
+def laplace2d(k):
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(k, k))
+    I = sp.eye(k)
+    return (sp.kron(I, T) + sp.kron(T, I)).tocsr()
+
+
+def test_spmv_engine_selection(be4):
+    x = hl.DistVector.rand(144, be4)
+    # stencil pattern -> DIA
+    A = hl.DistSparseMatrix.from_scipy(laplace2d(12), be4)
+    p = get_spmv_plan(A, x)
+    assert p.offsets is not None
+    # small random -> densify
+    R = sp.random(144, 144, 0.05, format="csr", random_state=np.random.default_rng(1))
+    Rd = hl.DistSparseMatrix.from_scipy(R, be4)
+    p2 = get_spmv_plan(Rd, x)
+    assert p2.offsets is None and p2.densify
+
+
+def test_spmv_engines_agree(cfg):
+    be, dtype = cfg
+    x = rand_vector(100, dtype)
+    xv = hl.DistVector.from_global(x, be, dtype=dtype)
+    for A in (sp.csr_matrix(tridiagonal_matrix(100, dtype)),
+              sp.random(100, 100, 0.08, format="csr",
+                        random_state=np.random.default_rng(3)).astype(dtype)):
+        Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+        assert_close((Ad @ xv).to_numpy(), A @ x, dtype)
+
+
+def test_spgemm_dia_engine(be4):
+    A = laplace2d(12)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    C = Ad @ Ad
+    plan = get_spgemm_plan(Ad, Ad)
+    assert plan.dia.ok
+    assert_close(C.to_scipy().toarray(), (A @ A).toarray(), np.float64)
+
+
+def test_spgemm_dia_nonsquare_banded(be4):
+    T1 = sp.diags([np.ones(49), 2 * np.ones(50)], [-1, 0]).tocsr()
+    T2 = sp.diags([3 * np.ones(50), np.ones(48)], [0, 2]).tocsr()
+    C = (hl.DistSparseMatrix.from_scipy(T1, be4)
+         @ hl.DistSparseMatrix.from_scipy(T2, be4))
+    assert_close(C.to_scipy().toarray(), (T1 @ T2).toarray(), np.float64)
+
+
+def test_dense_transpose_device_exchange(be4):
+    from utils import dense_matrix
+
+    M = dense_matrix(23, 11)
+    Md = hl.DistDenseMatrix.from_global(
+        M, be4, row_partition=np.array([0, 2, 9, 17, 23]))
+    Mt = Md.transpose_materialized()
+    assert_close(Mt.to_numpy(), M.T, np.float64)
+    assert_close(Mt.transpose_materialized().to_numpy(), M, np.float64)
+
+
+def test_adjoint(cfg):
+    be, dtype = cfg
+    if not np.issubdtype(np.dtype(dtype), np.complexfloating):
+        return
+    from utils import random_sparse
+
+    A = random_sparse(14, 14, 0.3, dtype, seed=91)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    x = rand_vector(14, dtype)
+    xv = hl.DistVector.from_global(x, be, dtype=dtype)
+    assert_close((Ad.H @ xv).to_numpy(), A.conj().T @ x, dtype)
+
+
+def test_warmup(be4):
+    hl.warmup(be4)  # must run every hot path without error
