@@ -156,6 +156,23 @@ class Factorization:
     def solve_transpose(self, b, refine: int | None = None):
         return self.solve(b, transpose=True, refine=refine)
 
+    def solve_matrix(self, B, transpose: bool = False, refine: int | None = None):
+        """Multi-RHS solve: B is a DistDenseMatrix (or host (n, k) array)
+        whose columns are right-hand sides (ref: MUMPS multi-RHS solve path,
+        mumps_factorization.jl:291-353)."""
+        from ..dense import DistDenseMatrix
+
+        is_dist = isinstance(B, DistDenseMatrix)
+        Bh = B.to_numpy() if is_dist else np.asarray(B)
+        cols = [self.solve(Bh[:, k], transpose=transpose, refine=refine)
+                for k in range(Bh.shape[1])]
+        X = np.stack(cols, axis=1)
+        if is_dist:
+            return DistDenseMatrix.from_global(X, self.backend,
+                                               row_partition=self.A.row_partition,
+                                               dtype=X.dtype)
+        return X
+
     def finalize(self):
         """Release numeric data (ref: finalize!, mumps_factorization.jl:421)."""
         self.num = None
