@@ -45,6 +45,19 @@ def sparse_getindex(A, key):
         raise TypeError("matrix indexing requires A[rows, cols]")
     rkey, ckey = key
     m, n = A.shape
+
+    # A[rows, k] -> DistVector (ref: A[:,k], indexing.jl:385); the row case
+    # A[k, cols] is the transpose analogue
+    if isinstance(ckey, (int, np.integer)) and not isinstance(rkey, (int, np.integer)):
+        col = sparse_getindex(A, (rkey, slice(int(ckey), int(ckey) + 1)))
+        from .reductions import row_sum
+
+        return row_sum(col)
+    if isinstance(rkey, (int, np.integer)) and not isinstance(ckey, (int, np.integer)):
+        row = sparse_getindex(A, (slice(int(rkey), int(rkey) + 1), ckey))
+        from .reductions import col_sum
+
+        return col_sum(row)
     rids, rtag = _key_ids(rkey, m, v_to_int_host)
     cids, ctag = _key_ids(ckey, n, v_to_int_host)
 

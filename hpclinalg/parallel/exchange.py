@@ -94,6 +94,21 @@ def _local_permute_fn(with_base: bool, add: bool):
 
 
 @lru_cache(maxsize=None)
+def _window_fn():
+    @partial(jax.jit, static_argnums=(1, 2))
+    def run(x, window, out_pad):
+        a, b, L0 = window
+        S = x.shape[0]
+        trail = x.shape[2:]
+        seg = jax.lax.slice(x, (0, a) + (0,) * len(trail),
+                            (S, a + L0) + trail)
+        pad = [(0, 0), (b, out_pad - b - L0)] + [(0, 0)] * len(trail)
+        return jnp.pad(seg, pad)
+
+    return run
+
+
+@lru_cache(maxsize=None)
 def _identity_pad_fn():
     @partial(jax.jit, static_argnums=(1,))
     def run(x, out_pad):
@@ -145,6 +160,22 @@ class ExchangePlan:
                 for s in range(S)
             )
         )
+        # uniform-window fast path: every shard copies the SAME contiguous
+        # source run to the SAME contiguous destination run — a static
+        # slice+pad instead of take/scatter (e.g. single-shard halo windows)
+        self.window = None
+        if self.local_only and not self.is_identity:
+            runs = []
+            for s in range(S):
+                sd, rv = send[s][s], recv_pos[s][s]
+                L0 = len(sd)
+                if L0 and np.array_equal(sd, np.arange(sd[0], sd[0] + L0)) \
+                        and np.array_equal(rv, np.arange(rv[0], rv[0] + L0)):
+                    runs.append((int(sd[0]), int(rv[0]), L0))
+                else:
+                    runs.append(None)
+            if all(r is not None for r in runs) and len(set(runs)) == 1:
+                self.window = runs[0]  # (src_start, dst_start, length)
 
         if self.local_only:
             C = max(1, round_up(int(np.diag(counts).max() if S else 0), 8))
@@ -176,6 +207,8 @@ class ExchangePlan:
         with_base = base is not None
         if self.is_identity and not with_base and not add:
             return _identity_pad_fn()(x, self.out_pad)
+        if self.window is not None and not with_base and not add:
+            return _window_fn()(x, self.window, self.out_pad)
         if self.local_only:
             fn = _local_permute_fn(with_base, add)
         else:
