@@ -11,14 +11,11 @@ resharding (DenseTransposePlan, dense.jl:690-978).
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .backend import Backend
-from .cache import cached_plan
 from .hashing import dense_structural_hash, partition_hash
 from .parallel.mesh import allgather_full, gather_to_host
 from .partition import (

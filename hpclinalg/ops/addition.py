@@ -14,8 +14,6 @@ reference's operand-alignment discipline)."""
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

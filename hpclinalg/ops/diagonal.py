@@ -7,14 +7,11 @@ metadata); value movement is a cached local permutation or a scatter plan.
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..cache import cached_plan
 from ..partition import uniform_partition
 from ..parallel.exchange import ExchangePlan
-from .gather import scatter_exchange_plan
 
 
 def diag(A, k: int = 0):

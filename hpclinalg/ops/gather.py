@@ -14,7 +14,7 @@ import numpy as np
 
 from ..backend import Backend
 from ..config import round_up
-from ..partition import global_to_local, nshards_of, partition_sizes
+from ..partition import global_to_local, partition_sizes
 from ..parallel.exchange import ExchangePlan
 
 

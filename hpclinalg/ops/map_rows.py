@@ -17,9 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..cache import cached_plan
-from ..hashing import partition_hash
-from ..partition import partition_sizes
 
 
 def map_rows(fn, *args, out_dtype=None):

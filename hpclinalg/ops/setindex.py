@@ -16,10 +16,6 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
-from ..cache import cached_plan
-from ..hashing import _h
-from ..partition import nshards_of
-from .gather import scatter_exchange_plan
 from .indexing import _normalize_slice, v_to_int_host
 
 

@@ -7,7 +7,6 @@ HPCLinearAlgebra.jl:150-156).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -13,7 +13,7 @@ import numpy as np
 
 from ..cache import cached_plan
 from ..hashing import _h
-from ..partition import nshards_of, uniform_partition
+from ..partition import uniform_partition
 from ..parallel.exchange import ExchangePlan
 from .indexing import _normalize_slice, subrange_partition
 

@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cache import cached_plan
-from ..config import round_up
 from ..parallel.exchange import ExchangePlan
 from .gather import gather_exchange_plan
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..cache import cached_plan
-from ..partition import nshards_of, owner_of
+from ..partition import owner_of
 from ..parallel.exchange import ExchangePlan
 
 

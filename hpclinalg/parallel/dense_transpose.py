@@ -9,7 +9,7 @@ host round-trip, no full-matrix materialization.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,7 @@ from jax.sharding import PartitionSpec as P
 from ..backend import AXIS
 from ..cache import cached_plan
 from ..hashing import partition_hash
-from ..partition import nshards_of, padded_size, partition_sizes
+from ..partition import padded_size, partition_sizes
 
 
 @lru_cache(maxsize=None)

@@ -8,7 +8,7 @@ map here to ``all_gather`` + a static unpad/reorder take.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp

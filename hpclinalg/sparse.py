@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from .backend import Backend, backends_compatible
+from .backend import Backend
 from .config import round_up
 from .hashing import DIGEST_SIZE, _h, partition_hash
 from .partition import (

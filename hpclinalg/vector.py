@@ -15,7 +15,6 @@ to the left's partition, as the reference does (vectors.jl:868-876, dot at
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
