@@ -1,0 +1,125 @@
+"""Pallas TPU kernel for the DIA/stencil SpMV engine.
+
+The XLA DIA path re-reads the x vector once per diagonal offset (measured
+marginal bandwidth ~166 GB/s on v5e); this kernel DMAs each row tile's x
+window into VMEM once and performs the O shifted FMAs in-register, bringing
+traffic down to one pass over (dval, x, y) — near HBM speed-of-light.
+Measured: 4M-dof Laplacian SpMV 1.54 ms vs 2.34 ms for the XLA path
+(both include the ~1.4 ms relay dispatch floor; the kernel itself is
+~0.1-0.2 ms).
+
+Used on the TPU platform for single-shard blocks (the per-shard body of a
+future shard_map wrap); the XLA DIA path remains the portable engine.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TR = 131072  # rows per tile: multiple of 128, sized for ~7 MB of VMEM
+# below this row count the XLA DIA path wins (its dispatch is lighter and
+# everything is dominated by the per-call floor anyway)
+MIN_ROWS = 1 << 21
+
+
+def pallas_available(backend, Lrow: int = MIN_ROWS) -> bool:
+    try:
+        platform = backend.mesh.devices.flat[0].platform
+    except Exception:
+        return False
+    return platform not in ("cpu",) and backend.nshards == 1 and Lrow >= MIN_ROWS
+
+
+@lru_cache(maxsize=None)
+def _pallas_dia_fn(offsets: tuple, Lrow: int, Lin: int):
+    """offsets: static diagonal offsets (gathered-index space); Lrow: output
+    rows per shard; Lin: length of the input (x or gathered) buffer."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    minoff, maxoff = min(offsets), max(offsets)
+    span = maxoff - minoff
+    span_pad = ((span + 1023) // 1024) * 1024  # VMEM slices need 1024-alignment
+    ntiles = -(-Lrow // TR)
+    npad = ntiles * TR
+    O = len(offsets)
+
+    def kern(dval_ref, xp_ref, y_ref):
+        i = pl.program_id(0)
+
+        def inner(xw, sem):
+            cp = pltpu.make_async_copy(
+                xp_ref.at[pl.ds(i * TR, TR + span_pad)], xw, sem)
+            cp.start()
+            cp.wait()
+            acc = jnp.zeros((TR,), jnp.float32)
+            for t, o in enumerate(offsets):
+                acc = acc + dval_ref[t, :] * xw[pl.ds(o - minoff, TR)]
+            y_ref[:] = acc
+
+        pl.run_scoped(inner, xw=pltpu.VMEM((TR + span_pad,), jnp.float32),
+                      sem=pltpu.SemaphoreType.DMA)
+
+    @jax.jit
+    def run(dval_pad, xb):
+        # dval_pad: (1, O, npad) f32 (pre-padded table); xb: (1, Lin)
+        x = xb[0].astype(jnp.float32)
+        # xp[j] must equal x[j + minoff]
+        if minoff < 0:
+            x = jnp.pad(x, (-minoff, 0))
+        elif minoff > 0:
+            x = x[minoff:]
+        need = npad + span_pad
+        cur = x.shape[0]
+        x = jnp.pad(x, (0, need - cur)) if cur < need else x[:need]
+        y = pl.pallas_call(
+            kern,
+            grid=(ntiles,),
+            in_specs=[pl.BlockSpec((O, TR), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((TR,), lambda i: (i,),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((npad,), jnp.float32),
+        )(dval_pad[0], x)
+        return y[:Lrow][None]
+
+    return run, npad
+
+
+def dia_table_padded(A, plan, npad: int) -> jax.Array:
+    """(1, O, npad) f32 table for the Pallas kernel, cached per instance."""
+    cache = getattr(A, "_engine_cache", None)
+    if cache is None:
+        cache = A._engine_cache = {}
+    key = ("pallas_dia", plan.key, npad)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    from .spmv import _dia_build
+
+    st = A.structure
+    O = len(plan.offsets)
+    zeros = jnp.zeros((1, O * npad), jnp.float32)
+    # dia_scatter indexes an (O, Lrow) layout; re-map into the padded layout
+    scat_host = np.asarray(plan.dia_scatter)
+    oi, rl = scat_host // st.Lrow, scat_host % st.Lrow
+    pad_scat = np.where(scat_host >= O * st.Lrow, O * npad, oi * npad + rl)
+    tbl = _dia_build(jnp.asarray(pad_scat.astype(np.int32)),
+                     A.nzval.astype(jnp.float32), zeros)
+    tbl = tbl.reshape(1, O, npad)
+    cache[key] = tbl
+    return tbl
+
+
+def pallas_dia_matvec(A, plan, xb: jax.Array) -> jax.Array:
+    """xb: (1, Lin) input block (x itself when the gather is identity, the
+    gathered buffer otherwise). Returns (1, Lrow) f32."""
+    st = A.structure
+    fn, npad = _pallas_dia_fn(plan.offsets, st.Lrow, int(xb.shape[1]))
+    tbl = dia_table_padded(A, plan, npad)
+    return fn(tbl, xb)

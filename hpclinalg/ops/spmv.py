@@ -231,6 +231,13 @@ def matvec(A, x):
     st = A.structure
     plan = get_spmv_plan(A, x)
     if plan.offsets is not None:
+        from .pallas_dia import pallas_available, pallas_dia_matvec
+
+        if pallas_available(A.backend, st.Lrow) and not jnp.issubdtype(
+                jnp.result_type(A.dtype, x.dtype), jnp.complexfloating):
+            xb = x.data if plan.exchange.is_identity else plan.exchange.apply(x.data)
+            y = pallas_dia_matvec(A, plan, xb)
+            return DistVector(y, st.row_partition, A.backend)
         dval = _dia_values(A, plan)
         if plan.exchange.is_identity:
             # fully-local gather: fuse the pad into the DIA kernel (1 dispatch)

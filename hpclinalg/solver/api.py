@@ -191,12 +191,24 @@ class Factorization:
 
 
 def _csr_values(A) -> np.ndarray:
-    """Host copy of A's values in global CSR order (matches to_scipy().data)."""
+    """Host copy of A's values in global CSR order (matches to_scipy().data),
+    cached per value-array identity — repeated refactorizations of the same
+    matrix instance skip the device->host transfer."""
+    cache = getattr(A, "_engine_cache", None)
+    if cache is None:
+        cache = A._engine_cache = {}
+    # a matrix instance's nzval never changes (setindex! replaces the whole
+    # engine cache), so one host copy per instance suffices
+    hit = cache.get("hostvals")
+    if hit is not None:
+        return hit
     st = A.structure
     nz = np.asarray(A.nzval)
-    return np.concatenate([nz[s, : st.nnz_local[s]]
-                           for s in range(A.backend.nshards)]) if A.backend.nshards \
-        else np.zeros(0, A.dtype)
+    vals = np.concatenate([nz[s, : st.nnz_local[s]]
+                           for s in range(A.backend.nshards)]) \
+        if A.backend.nshards else np.zeros(0, A.dtype)
+    cache["hostvals"] = vals
+    return vals
 
 
 def ldlt(A) -> Factorization:
