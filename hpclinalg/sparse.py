@@ -296,6 +296,19 @@ class DistSparseMatrix:
     def abs(self):
         return self.__abs__()
 
+    def abs2(self):
+        """|a|^2 on stored values, real result (ref sparse.jl:2488-2569)."""
+        return self._map_nz(lambda v: jnp.real(v * jnp.conj(v)))
+
+    def floor(self):
+        return self._map_nz(jnp.floor)
+
+    def ceil(self):
+        return self._map_nz(jnp.ceil)
+
+    def round(self):
+        return self._map_nz(jnp.round)
+
     def map_nonzeros(self, fn, zero_preserving: bool = True) -> "DistSparseMatrix":
         """Zero-preserving elementwise map over stored values (ref: map/abs/
         real/..., sparse.jl:2488-2569). Padding slots must stay zero, so a

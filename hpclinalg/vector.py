@@ -220,6 +220,19 @@ class DistVector:
     def abs(self):
         return self.__abs__()
 
+    def abs2(self):
+        """|x|^2 elementwise, real result (ref: abs2, test_sparse_api)."""
+        return self._like(jnp.real(self.data * jnp.conj(self.data)))
+
+    def floor(self):
+        return self._like(jnp.floor(self.data))
+
+    def ceil(self):
+        return self._like(jnp.ceil(self.data))
+
+    def round(self):
+        return self._like(jnp.round(self.data))
+
     def real(self):
         return self._like(jnp.real(self.data))
 

@@ -128,3 +128,29 @@ def test_issymmetric_asymmetric_partitions(be4):
 def test_speye(be4):
     I = hl.speye(13, be4)
     assert_close(I.to_scipy().toarray(), np.eye(13), np.float64)
+
+
+def test_abs2_floor_ceil_round(cfg):
+    be, dtype = cfg
+    A = random_sparse(13, 13, 0.35, dtype, seed=131)
+    A.data = A.data * 5
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    assert_close(Ad.abs2().to_scipy().toarray(), np.abs(A.toarray()) ** 2, dtype)
+    v = rand_vector(11, dtype, seed=132)
+    dv = hl.DistVector.from_global(v, be, dtype=dtype)
+    assert_close(dv.abs2().to_numpy(), np.abs(v) ** 2, dtype)
+    if not np.issubdtype(np.dtype(dtype), np.complexfloating):
+        dense = A.toarray()
+        assert_close(Ad.floor().to_scipy().toarray(),
+                     np.floor(dense) * (dense != 0), dtype)
+        assert_close(Ad.ceil().to_scipy().toarray(),
+                     np.ceil(dense) * (dense != 0), dtype)
+        assert_close(dv.floor().to_numpy(), np.floor(v), dtype)
+        assert_close(dv.round().to_numpy(), np.round(v), dtype)
+
+
+def test_empty_diag(be4):
+    A = random_sparse(10, 10, 0.3, seed=133)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    assert len(Ad.diag(15)) == 0
+    assert len(Ad.diag(-15)) == 0
