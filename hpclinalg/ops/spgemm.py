@@ -42,7 +42,6 @@ class SpGEMMPlan:
         # gathered buffer on shard s = concat of B-row values for rows in
         # col_indices_A[s] (sorted); offsets goff[s]
         brow_len = []  # len of each B row (global), replicated
-        row_of_nnz = []
         for sb in range(S):
             ip = stB.indptr[sb]
             brow_len.append(np.diff(ip))
@@ -50,7 +49,7 @@ class SpGEMMPlan:
 
         send = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
         recv = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
-        goffs, gtot = [], 0
+        goffs = []
         max_g = 0
         for s in range(S):
             wanted = stA.col_indices[s]  # global B rows needed
@@ -83,7 +82,7 @@ class SpGEMMPlan:
         # --- flop-pair expansion + C structure, per shard --------------------
         indptr, col_indices, colval = [], [], []
         pairsA, pairsB, pairsO = [], [], []
-        max_pairs, max_cnnz = 0, 0
+        max_pairs = 0
         for s in range(S):
             rA, cA = stA.global_coo[s]  # storage order
             goff = goffs[s]
@@ -114,8 +113,6 @@ class SpGEMMPlan:
             out_col = gath_cols[pB]
             keys = out_row * n_out_cols + out_col
             uniq, inv = np.unique(keys, return_inverse=True)
-            cnnz = len(uniq)
-            max_cnnz = max(max_cnnz, cnnz)
             rows, cols = uniq // n_out_cols, uniq % n_out_cols
             nl = len(stA.indptr[s]) - 1
             ip = np.zeros(nl + 1, dtype=np.int64)
@@ -133,10 +130,9 @@ class SpGEMMPlan:
             A.backend,
         )
         Ppad = round_up(max(max_pairs, 1))
-        S_ = S
 
         def pack(lists, fill):
-            out = np.full((S_, Ppad), fill, dtype=np.int32)
+            out = np.full((S, Ppad), fill, dtype=np.int32)
             for s, l in enumerate(lists):
                 out[s, : len(l)] = l
             return jax.device_put(out, A.backend.row_sharding())
