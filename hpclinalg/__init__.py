@@ -33,6 +33,7 @@ from .ops.map_rows import map_rows, vertex_indices
 from .solver.api import BackslashCache, Factorization, ldlt, lu, solve
 from .utils.io import io0
 from .utils.warmup import Symmetric, warmup
+from .utils.profiling import annotate, profile_trace
 
 __all__ = [
     "AXIS", "Backend", "backend_auto", "backend_serial", "backends_compatible",
@@ -43,7 +44,7 @@ __all__ = [
     "spdiagm", "speye", "sprand_dist", "spzeros", "blockdiag", "cat_sparse",
     "hcat_sparse", "vcat_sparse", "map_rows", "vertex_indices",
     "Factorization", "BackslashCache", "lu", "ldlt", "solve", "io0",
-    "Symmetric", "warmup",
+    "Symmetric", "warmup", "profile_trace", "annotate",
 ]
 
 __version__ = "0.1.0"

@@ -265,9 +265,14 @@ def _vals_fingerprint(A):
 
 def solve(A, b, symmetric: bool | None = None):
     """``A \\ b`` (ref: Base.:\\, HPCLinearAlgebra.jl:674). Wrapping A in
-    hl.Symmetric asserts symmetry (ref: Symmetric dispatch)."""
+    hl.Symmetric asserts symmetry; a LazyTranspose solves the transposed
+    system (ref: transpose/adjoint solve, test_factorization.jl)."""
+    from ..lazy import LazyTranspose
     from ..utils.warmup import Symmetric
 
     if isinstance(A, Symmetric):
         return BackslashCache.solve(A.A, b, symmetric=True)
+    if isinstance(A, LazyTranspose):
+        return BackslashCache.solve(A.parent, b, symmetric=symmetric,
+                                    transpose=True)
     return BackslashCache.solve(A, b, symmetric=symmetric)
