@@ -30,9 +30,30 @@
 #include <complex>
 #include <dlfcn.h>
 #include <unistd.h>
+#ifdef MF_PROF
+#include <chrono>
+#include <cstdio>
+static double tAcc[8];
+struct ProfT {
+  int slot; std::chrono::high_resolution_clock::time_point t0;
+  ProfT(int s): slot(s), t0(std::chrono::high_resolution_clock::now()) {}
+  ~ProfT(){ tAcc[slot] += std::chrono::duration<double>(std::chrono::high_resolution_clock::now()-t0).count(); }
+};
+#define PROF(slot) ProfT _pt##__LINE__(slot)
+extern "C" void mf_prof_dump() {
+  const char* names[8] = {"zeroF","assembleA","extendadd","panel","trsm/L21","schur","alloc","other"};
+  for (int i=0;i<8;++i) if (tAcc[i]>0) fprintf(stderr, "  %-10s %.3f ms\n", names[i], tAcc[i]*1e3);
+  for (int i=0;i<8;++i) tAcc[i]=0;
+}
+#else
+#define PROF(slot)
+#endif
 #include <vector>
 
 using i64 = int64_t;
+
+// below this work size, hand-rolled loops beat a BLAS call's dispatch cost
+static constexpr size_t kSmallFront = 2048;
 using cd = std::complex<double>;
 
 typedef int blasint;
@@ -165,18 +186,20 @@ static i64 factorize_full(
     const i64 r0 = rows_ptr[k], r1 = rows_ptr[k + 1];
     const i64 nr = r1 - r0;
     const i64 nf = nc + nr;
-    F.assign((size_t)nf * nf, T(0));
+    { PROF(0); F.assign((size_t)nf * nf, T(0)); }
 
     for (i64 j = j0; j < j1; ++j) pos_of[j] = j - j0;
     for (i64 t = r0; t < r1; ++t) pos_of[rows[t]] = nc + (t - r0);
 
     // assemble A columns of the supernode
+    { PROF(1);
     for (i64 j = j0; j < j1; ++j) {
       const i64 c = j - j0;
       for (i64 t = Ap[j]; t < Ap[j + 1]; ++t) {
         const i64 p = pos_of[Ai[t]];
         if (p >= 0) F[(size_t)c * nf + p] = Ax[t];
       }
+    }
     }
     if (kind == 1) {
       // upper block F[0:nc, nc:]: A entries (r, c) with r in snode cols and
@@ -192,6 +215,7 @@ static i64 factorize_full(
     }
 
     // extend-add child Schur complements
+    { PROF(2);
     for (i64 c = chead[k]; c != -1; c = cnext[c]) {
       const i64 cr0 = rows_ptr[c], cr1 = rows_ptr[c + 1];
       const i64 cnr = cr1 - cr0;
@@ -209,12 +233,14 @@ static i64 factorize_full(
       free(upd[c]);
       upd[c] = nullptr;
     }
+    }
 
     T *l11 = &L11[l11_off[k]];
     T *l21 = &L21[l21_off[k]];
     T *d = &D[j0];
 
     if (kind == 0) {
+      PROF(3);
       // ---- unpivoted blocked LDLt of F11 (nc x nc) -----------------------
       const i64 NB = 48;
       for (i64 p0 = 0; p0 < nc; p0 += NB) {
@@ -272,6 +298,20 @@ static i64 factorize_full(
         for (i64 j = 0; j < nc; ++j)
           memcpy(&l21[(size_t)j * nr], &F[(size_t)j * nf + nc],
                  sizeof(T) * nr);
+        if ((size_t)nr * nc <= kSmallFront) {
+          // hand-rolled X * L11^T = F21 solve: X[:,j] -= X[:,k<j] * L11[j,k]
+          // — BLAS per-call overhead dominates on the thousands of tiny
+          // fronts typical after AMD (avg nf ~ 12 on 2D meshes)
+          for (i64 j = 1; j < nc; ++j) {
+            T *xj = &l21[(size_t)j * nr];
+            for (i64 k2 = 0; k2 < j; ++k2) {
+              const T m = l11[(size_t)k2 * nc + j];
+              if (m == T(0)) continue;
+              const T *xk = &l21[(size_t)k2 * nr];
+              for (i64 i = 0; i < nr; ++i) xj[i] -= m * xk[i];
+            }
+          }
+        } else
         Blas<T>::trsm('R', 'L', 'T', 'U', (blasint)nr, (blasint)nc, T(1),
                       l11, (blasint)nc, l21, (blasint)nr);
         // W = L21 (still scaled by D on the right: actually after trsm,
@@ -293,6 +333,18 @@ static i64 factorize_full(
           for (i64 j = 0; j < nr; ++j)
             memcpy(&U[(size_t)j * nr], &F[(size_t)(nc + j) * nf + nc],
                    sizeof(T) * nr);
+          if ((size_t)nr * nr * nc <= kSmallFront * 16) {
+            // hand-rolled U -= VDinv * V^T for tiny fronts
+            for (i64 j = 0; j < nr; ++j) {
+              T *Uj = &U[(size_t)j * nr];
+              for (i64 k2 = 0; k2 < nc; ++k2) {
+                const T vjk = l21[(size_t)k2 * nr + j];
+                if (vjk == T(0)) continue;
+                const T *w = &VDinv[(size_t)k2 * nr];
+                for (i64 i = 0; i < nr; ++i) Uj[i] -= w[i] * vjk;
+              }
+            }
+          } else
           Blas<T>::gemm('N', 'T', (blasint)nr, (blasint)nr, (blasint)nc,
                         T(-1), VDinv.data(), (blasint)nr, l21, (blasint)nr,
                         T(1), U, (blasint)nr);
@@ -400,6 +452,47 @@ static i64 factorize_full(
 }
 
 // ---- solve -------------------------------------------------------------------
+// small-size manual kernels for the solve sweeps (BLAS dispatch overhead
+// dominates at the tiny per-supernode sizes typical after AMD)
+template <class T>
+static inline void trsv_lnu(i64 n, const T *L, T *x) {  // unit-lower, no-T
+  for (i64 j = 0; j < n; ++j) {
+    const T xj = x[j];
+    const T *col = &L[(size_t)j * n];
+    for (i64 i = j + 1; i < n; ++i) x[i] -= col[i] * xj;
+  }
+}
+template <class T>
+static inline void trsv_ltu(i64 n, const T *L, T *x) {  // unit-lower, T
+  for (i64 j = n - 1; j >= 0; --j) {
+    T acc = x[j];
+    const T *col = &L[(size_t)j * n];
+    for (i64 i = j + 1; i < n; ++i) acc -= col[i] * x[i];
+    x[j] = acc;
+  }
+}
+template <class T>
+static inline void gemv_n(i64 m, i64 n, const T *A, const T *x, T *y) {
+  // y += A x, A (m x n) col-major
+  for (i64 j = 0; j < n; ++j) {
+    const T xj = x[j];
+    if (xj == T(0)) continue;
+    const T *col = &A[(size_t)j * m];
+    for (i64 i = 0; i < m; ++i) y[i] += col[i] * xj;
+  }
+}
+template <class T>
+static inline void gemv_t(i64 m, i64 n, const T *A, const T *x, T *y) {
+  // y += A^T x, A (m x n) col-major
+  for (i64 j = 0; j < n; ++j) {
+    const T *col = &A[(size_t)j * m];
+    T acc = T(0);
+    for (i64 i = 0; i < m; ++i) acc += col[i] * x[i];
+    y[j] += acc;
+  }
+}
+static constexpr i64 kSmallSolve = 8192;
+
 template <class T>
 static void solve_impl(
     i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr, const i64 *rows,
@@ -412,12 +505,18 @@ static void solve_impl(
     for (i64 k = 0; k < ns; ++k) {
       const i64 j0 = snode_ptr[k], nc = snode_ptr[k + 1] - j0;
       const i64 r0 = rows_ptr[k], nr = rows_ptr[k + 1] - r0;
-      Blas<T>::trsv('L', 'N', 'U', (blasint)nc, &L11[l11_off[k]], (blasint)nc,
-                    &y[j0], 1);
+      if (nc * nc <= kSmallSolve)
+        trsv_lnu(nc, &L11[l11_off[k]], &y[j0]);
+      else
+        Blas<T>::trsv('L', 'N', 'U', (blasint)nc, &L11[l11_off[k]], (blasint)nc,
+                      &y[j0], 1);
       if (nr > 0) {
         tmp.assign((size_t)nr, T(0));
-        Blas<T>::gemv('N', (blasint)nr, (blasint)nc, T(1), &L21[l21_off[k]],
-                      (blasint)nr, &y[j0], 1, T(0), tmp.data(), 1);
+        if (nr * nc <= kSmallSolve)
+          gemv_n(nr, nc, &L21[l21_off[k]], &y[j0], tmp.data());
+        else
+          Blas<T>::gemv('N', (blasint)nr, (blasint)nc, T(1), &L21[l21_off[k]],
+                        (blasint)nr, &y[j0], 1, T(0), tmp.data(), 1);
         for (i64 t = 0; t < nr; ++t) y[rows[r0 + t]] -= tmp[t];
       }
       if (kind == 0)
@@ -448,11 +547,23 @@ static void solve_impl(
       if (nr > 0) {
         tmp.assign((size_t)nr, T(0));
         for (i64 t = 0; t < nr; ++t) tmp[t] = y[rows[r0 + t]];
-        Blas<T>::gemv('T', (blasint)nr, (blasint)nc, T(-1), &L21[l21_off[k]],
-                      (blasint)nr, tmp.data(), 1, T(1), &y[j0], 1);
+        if (nr * nc <= kSmallSolve) {
+          // y[j0:] -= L21^T tmp
+          for (i64 j = 0; j < nc; ++j) {
+            const T *col = &L21[l21_off[k] + (size_t)j * nr];
+            T acc = T(0);
+            for (i64 i = 0; i < nr; ++i) acc += col[i] * tmp[i];
+            y[j0 + j] -= acc;
+          }
+        } else
+          Blas<T>::gemv('T', (blasint)nr, (blasint)nc, T(-1), &L21[l21_off[k]],
+                        (blasint)nr, tmp.data(), 1, T(1), &y[j0], 1);
       }
-      Blas<T>::trsv('L', 'T', 'U', (blasint)nc, &L11[l11_off[k]], (blasint)nc,
-                    &y[j0], 1);
+      if (nc * nc <= kSmallSolve)
+        trsv_ltu(nc, &L11[l11_off[k]], &y[j0]);
+      else
+        Blas<T>::trsv('L', 'T', 'U', (blasint)nc, &L11[l11_off[k]], (blasint)nc,
+                      &y[j0], 1);
     }
   } else {
     // backward with U
