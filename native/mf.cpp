@@ -172,13 +172,35 @@ static i64 factorize_full(
     int kind, double eps) {
   i64 npert = 0;
   std::vector<i64> pos_of(n, -1);
-  std::vector<T *> upd(ns, nullptr);
   std::vector<i64> chead(ns, -1), cnext(ns, -1);
   for (i64 k = 0; k < ns; ++k) {
     const i64 p = sparent[k];
     if (p >= 0) { cnext[k] = chead[p]; chead[p] = k; }
   }
   std::vector<T> F;
+
+  // classic multifrontal update stack: postorder makes child Schur
+  // complements LIFO, so one arena replaces per-front malloc/free
+  i64 peak = 0, top_sim = 0, max_nrnc = 0, max_nf = 0;
+  {
+    std::vector<i64> off_sim(ns, 0);
+    for (i64 k = 0; k < ns; ++k) {
+      i64 base = top_sim;
+      for (i64 c = chead[k]; c != -1; c = cnext[c]) base = std::min(base, off_sim[c]);
+      top_sim = base;
+      const i64 nrk = rows_ptr[k + 1] - rows_ptr[k];
+      const i64 nck = snode_ptr[k + 1] - snode_ptr[k];
+      off_sim[k] = top_sim;
+      top_sim += nrk * nrk;
+      peak = std::max(peak, top_sim);
+      max_nrnc = std::max(max_nrnc, nrk * nck);
+      max_nf = std::max(max_nf, nrk + nck);
+    }
+  }
+  std::vector<T> arena((size_t)std::max<i64>(peak, 1));
+  std::vector<i64> upd_off(ns, 0);
+  std::vector<T> VDinv_buf((size_t)std::max<i64>(max_nrnc, 1));
+  i64 top = 0;
 
   for (i64 k = 0; k < ns; ++k) {
     const i64 j0 = snode_ptr[k], j1 = snode_ptr[k + 1];
@@ -214,15 +236,17 @@ static i64 factorize_full(
       }
     }
 
-    // extend-add child Schur complements
+    // extend-add child Schur complements, then pop them off the stack
     { PROF(2);
+    i64 base = top;
+    std::vector<i64> map;
     for (i64 c = chead[k]; c != -1; c = cnext[c]) {
       const i64 cr0 = rows_ptr[c], cr1 = rows_ptr[c + 1];
       const i64 cnr = cr1 - cr0;
-      const T *U = upd[c];
-      // map child rows into this front
-      // (child rows are a subset of this front's index list)
-      std::vector<i64> map((size_t)cnr);
+      const T *U = &arena[upd_off[c]];
+      base = std::min(base, upd_off[c]);
+      // child rows are a subset of this front's index list
+      map.resize((size_t)cnr);
       for (i64 t = 0; t < cnr; ++t) map[t] = pos_of[rows[cr0 + t]];
       for (i64 cj = 0; cj < cnr; ++cj) {
         const i64 pj = map[cj];
@@ -230,9 +254,8 @@ static i64 factorize_full(
         const T *Ucol = &U[(size_t)cj * cnr];
         for (i64 ci = 0; ci < cnr; ++ci) Fcol[map[ci]] += Ucol[ci];
       }
-      free(upd[c]);
-      upd[c] = nullptr;
     }
+    top = base;
     }
 
     T *l11 = &L11[l11_off[k]];
@@ -316,18 +339,17 @@ static i64 factorize_full(
                       l11, (blasint)nc, l21, (blasint)nr);
         // W = L21 (still scaled by D on the right: actually after trsm,
         // l21 = F21 * L11^{-T}; divide columns by d to finish)
-        if (k + 1 <= ns) {
-          T *U = (T *)malloc(sizeof(T) * (size_t)nr * nr);
-          // Schur: U22 = F22 - (l21) * D^{-1} ... careful:
-          // F21*inv(F11)*F12 = (F21 L^-T D^-1)(D)(D^-1 L^-1 F12)
-          // With W := F21 L11^{-T} D^{-1}: U22 = F22 - W * D * W^T.
-          // Build V = l21 (pre-division) = F21 L11^{-T}; then
-          // U22 = F22 - V * D^{-1} * V^T. Use V directly:
-          std::vector<T> VDinv((size_t)nr * nc);
+        {
+          upd_off[k] = top;
+          T *U = &arena[top];
+          top += nr * nr;
+          // Schur: with V := F21 L11^{-T} (pre-division l21):
+          // U22 = F22 - V * D^{-1} * V^T
+          T *VDinv_p = VDinv_buf.data();
           for (i64 j = 0; j < nc; ++j) {
             const T inv = T(1.0) / d[j];
             for (i64 i = 0; i < nr; ++i)
-              VDinv[(size_t)j * nr + i] = l21[(size_t)j * nr + i] * inv;
+              VDinv_p[(size_t)j * nr + i] = l21[(size_t)j * nr + i] * inv;
           }
           // copy F22 into U
           for (i64 j = 0; j < nr; ++j)
@@ -340,20 +362,19 @@ static i64 factorize_full(
               for (i64 k2 = 0; k2 < nc; ++k2) {
                 const T vjk = l21[(size_t)k2 * nr + j];
                 if (vjk == T(0)) continue;
-                const T *w = &VDinv[(size_t)k2 * nr];
+                const T *w = &VDinv_p[(size_t)k2 * nr];
                 for (i64 i = 0; i < nr; ++i) Uj[i] -= w[i] * vjk;
               }
             }
           } else
           Blas<T>::gemm('N', 'T', (blasint)nr, (blasint)nr, (blasint)nc,
-                        T(-1), VDinv.data(), (blasint)nr, l21, (blasint)nr,
+                        T(-1), VDinv_p, (blasint)nr, l21, (blasint)nr,
                         T(1), U, (blasint)nr);
           // finish l21 scaling: l21 = V * D^{-1}
-          memcpy(l21, VDinv.data(), sizeof(T) * (size_t)nr * nc);
-          upd[k] = U;
+          memcpy(l21, VDinv_p, sizeof(T) * (size_t)nr * nc);
         }
       } else {
-        upd[k] = (T *)malloc(0);
+        upd_off[k] = top;
       }
     } else {
       // ---- unpivoted blocked LU of F11 -----------------------------------
@@ -431,23 +452,22 @@ static i64 factorize_full(
           memcpy(&u12[(size_t)j * nc], &F[(size_t)(nc + j) * nf], sizeof(T) * nc);
         Blas<T>::trsm('L', 'L', 'N', 'U', (blasint)nc, (blasint)nr, T(1),
                       l11, (blasint)nc, u12, (blasint)nc);
-        T *U = (T *)malloc(sizeof(T) * (size_t)nr * nr);
+        upd_off[k] = top;
+        T *U = &arena[top];
+        top += nr * nr;
         for (i64 j = 0; j < nr; ++j)
           memcpy(&U[(size_t)j * nr], &F[(size_t)(nc + j) * nf + nc],
                  sizeof(T) * nr);
         Blas<T>::gemm('N', 'N', (blasint)nr, (blasint)nr, (blasint)nc, T(-1),
                       l21, (blasint)nr, u12, (blasint)nc, T(1), U, (blasint)nr);
-        upd[k] = U;
       } else {
-        upd[k] = (T *)malloc(0);
+        upd_off[k] = top;
       }
     }
 
     for (i64 j = j0; j < j1; ++j) pos_of[j] = -1;
     for (i64 t = r0; t < r1; ++t) pos_of[rows[t]] = -1;
   }
-  for (i64 k = 0; k < ns; ++k)
-    if (upd[k]) free(upd[k]);
   return npert;
 }
 
