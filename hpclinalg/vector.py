@@ -139,8 +139,16 @@ class DistVector:
 
     def to_numpy(self) -> np.ndarray:
         """Gather the full vector to host (ref converter Vector(),
-        HPCLinearAlgebra.jl:817-870)."""
-        return gather_to_host(self.data, self.partition)
+        HPCLinearAlgebra.jl:817-870). Cached per device buffer — jax arrays
+        are immutable, and in-place setindex swaps ``self.data``, so the id
+        check stays sound. Saves a relay round-trip for repeated solves with
+        the same RHS."""
+        cached = getattr(self, "_host_cache", None)
+        if cached is not None and cached[0] is self.data:
+            return cached[1]
+        arr = gather_to_host(self.data, self.partition)
+        self._host_cache = (self.data, arr)
+        return arr
 
     # -- helpers -------------------------------------------------------------
     def _like(self, data) -> "DistVector":
