@@ -34,6 +34,7 @@ from .solver.api import BackslashCache, Factorization, ldlt, lu, solve
 from .utils.io import io0
 from .utils.warmup import Symmetric, warmup
 from .utils.profiling import annotate, profile_trace
+from .utils.convert import clear_solver_caches, comm_rank, comm_size, to_backend
 
 __all__ = [
     "AXIS", "Backend", "backend_auto", "backend_serial", "backends_compatible",
@@ -45,6 +46,7 @@ __all__ = [
     "hcat_sparse", "vcat_sparse", "map_rows", "vertex_indices",
     "Factorization", "BackslashCache", "lu", "ldlt", "solve", "io0",
     "Symmetric", "warmup", "profile_trace", "annotate",
+    "to_backend", "comm_rank", "comm_size", "clear_solver_caches",
 ]
 
 __version__ = "0.1.0"
