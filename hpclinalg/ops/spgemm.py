@@ -27,6 +27,9 @@ import numpy as np
 from ..cache import cached_plan
 from ..config import round_up
 from ..partition import global_to_local
+
+# densify-SpGEMM tier: per-shard dense operand cap (elements)
+DENSE_SPGEMM_ELEMS = 1 << 22
 from ..parallel.exchange import ExchangePlan
 
 
@@ -145,6 +148,39 @@ class SpGEMMPlan:
 
         # stencil-class fast path (diagonal convolution)
         self.dia = DiaSpGEMMPlan(A, B, self.structure)
+
+        # densify-to-MXU fast path for small general operands: the pair
+        # engine's gather+segment_sum runs at TPU scatter speed (~150M/s),
+        # while a dense (Lrow x G) @ (G x ncolsB) matmul is ~free on the MXU.
+        # G = A's compressed-column width; the gathered-B buffer scatters
+        # into a dense (G, ncolsB) operand once per value instance.
+        GA = stA.Gpad
+        self.densify = (not self.dia.ok
+                        and stA.Lrow * GA <= DENSE_SPGEMM_ELEMS
+                        and GA * B.ncols <= DENSE_SPGEMM_ELEMS)
+        if self.densify:
+            self.ncolsB = B.ncols
+            self.GA = GA
+            # gathered-B slot -> dense (compressed A col, global B col) slot
+            gm = np.full((S, self.gpad), GA * B.ncols, dtype=np.int32)  # drop
+            for s in range(S):
+                wanted = stA.col_indices[s]
+                goff = goffs[s]
+                for j, g in enumerate(wanted):
+                    sb = np.searchsorted(stB.row_partition, g, side="right") - 1
+                    lr = int(g - stB.row_partition[sb])
+                    a, b = stB.indptr[sb][lr], stB.indptr[sb][lr + 1]
+                    cols = stB.col_indices[sb][stB.colval[sb][a:b]]
+                    gm[s, goff[j]: goff[j + 1]] = j * B.ncols + cols
+            self.gathered_to_dense = jax.device_put(gm, A.backend.row_sharding())
+            # C value extraction: C nnz (storage order) -> dense C slot
+            stC = self.structure
+            take = np.full((S, stC.NNZpad), stA.Lrow * B.ncols, dtype=np.int32)
+            for s in range(S):
+                r, c = stC.global_coo[s]
+                rl = r - stC.row_partition[s]
+                take[s, : stC.nnz_local[s]] = rl * B.ncols + c
+            self.c_dense_take = jax.device_put(take, A.backend.row_sharding())
 
 
 class DiaSpGEMMPlan:
@@ -321,6 +357,26 @@ def get_spgemm_plan(A, B) -> SpGEMMPlan:
     return cached_plan("matrix_plan", key, lambda: SpGEMMPlan(A, B))
 
 
+@jax.jit
+def _dense_spgemm_exec(Adense, gatheredB, g2d, c_take, zeros):
+    """C values = take(dense(A) @ dense(B)): B densified from the gathered
+    value buffer by one scatter (same volume as the gather already paid),
+    the product on the MXU, C's CSR values one static take. zeros:
+    (S, GA*ncB + 1) — the +1 slot absorbs out-of-range C takes."""
+    GA = Adense.shape[2]
+    ncB = (zeros.shape[1] - 1) // GA
+    dt = jnp.result_type(Adense.dtype, gatheredB.dtype)
+
+    def body(ad, gb, gm, ct, z):
+        bd = z.at[gm].set(gb.astype(dt), mode="drop")[: GA * ncB]
+        cd = jnp.dot(ad.astype(dt), bd.reshape(GA, ncB),
+                     precision=jax.lax.Precision.HIGHEST)
+        flat = jnp.concatenate([cd.reshape(-1), jnp.zeros(1, dt)])
+        return jnp.take(flat, ct, axis=0)
+
+    return jax.vmap(body)(Adense, gatheredB, g2d, c_take, zeros)
+
+
 def _instance_dia_table(M, offsets, row_major, scatter):
     """Per-value-instance diagonal table, cached on the matrix object."""
     cache = getattr(M, "_engine_cache", None)
@@ -348,6 +404,25 @@ def spgemm(A, B):
     if A.ncols != B.m:
         raise ValueError(f"dimension mismatch: {A.shape} @ {B.shape}")
     plan = get_spgemm_plan(A, B)
+    if getattr(plan, "densify", False):
+        from .spmv import _dense_block, get_spmv_plan
+
+        # densified local A block over its compressed columns (cached per
+        # instance via the SpMV plan machinery: same layout)
+        from ..vector import DistVector
+
+        x0 = DistVector.zeros(A.ncols, A.backend, partition=B.row_partition)
+        sp_plan = get_spmv_plan(A, x0)
+        if sp_plan.offsets is None and sp_plan.densify:
+            Adense = _dense_block(A, sp_plan)
+            gatheredB = plan.value_plan.apply(B.nzval)
+            S = A.backend.nshards
+            zeros = jax.device_put(
+                jnp.zeros((S, plan.GA * plan.ncolsB + 1), jnp.result_type(A.dtype, B.dtype)),
+                A.backend.row_sharding())
+            nz = _dense_spgemm_exec(Adense, gatheredB, plan.gathered_to_dense,
+                                    plan.c_dense_take, zeros)
+            return DistSparseMatrix(plan.structure, nz, A.backend)
     if plan.dia.ok:
         d = plan.dia
         dA = _instance_dia_table(A, d.OA, False, d.dA_scatter)

@@ -203,7 +203,8 @@ def _densified_exec(pad_to: int = 0):
             elif pad_to > L:
                 gathered = jnp.pad(gathered, ((0, 0), (0, pad_to - L)))
         dt = jnp.result_type(blk.dtype, gathered.dtype)
-        return jnp.einsum("slg,sg->sl", blk.astype(dt), gathered.astype(dt))
+        return jnp.einsum("slg,sg->sl", blk.astype(dt), gathered.astype(dt),
+                          precision=jax.lax.Precision.HIGHEST)
 
     return run
 
