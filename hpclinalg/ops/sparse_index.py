@@ -69,12 +69,25 @@ def sparse_getindex(A, key):
             rp2 = subrange_partition(st.row_partition, rtag[1], rtag[2], rtag[3])
         else:
             rp2 = uniform_partition(len(rids), S)
-        # map global col -> new col (or -1)
-        colmap = np.full(n, -1, dtype=np.int64)
-        colmap[cids] = np.arange(len(cids))
-        # destination row for each selected source row
-        rowmap = np.full(m, -1, dtype=np.int64)
-        rowmap[rids] = np.arange(len(rids))
+        # duplicate-tolerant index maps: sorted ids + searchsorted ranges let
+        # one source entry fan out to every output position that selects it
+        # (Julia fancy-index semantics, ref indexing.jl:1483)
+        r_order = np.argsort(rids, kind="stable")
+        r_sorted = rids[r_order]
+        c_order = np.argsort(cids, kind="stable")
+        c_sorted = cids[c_order]
+
+        def expand(ids_sorted, order, values):
+            """for each value, the list of output positions selecting it;
+            returns (entry index repeat array, output positions)"""
+            lo = np.searchsorted(ids_sorted, values, side="left")
+            hi = np.searchsorted(ids_sorted, values, side="right")
+            cnt = hi - lo
+            src = np.repeat(np.arange(len(values)), cnt)
+            within = np.arange(len(src)) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt)])[:-1], cnt)
+            outpos = order[np.repeat(lo, cnt) + within]
+            return src, outpos
 
         send = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
         recv = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
@@ -82,13 +95,14 @@ def sparse_getindex(A, key):
         per_dst = [[] for _ in range(S)]  # (new_row, new_col, src_shard, src_pos)
         for s in range(S):
             r, c = st.global_coo[s]
-            nr = rowmap[r]
-            nc = colmap[c]
-            msk = (nr >= 0) & (nc >= 0)
-            if not msk.any():
+            # fan out by rows then by cols
+            e_r, out_r = expand(r_sorted, r_order, r)
+            if not len(e_r):
                 continue
-            pos = np.flatnonzero(msk)
-            nr, nc = nr[msk], nc[msk]
+            e_rc, out_c = expand(c_sorted, c_order, c[e_r])
+            nr = out_r[e_rc]
+            nc = out_c
+            pos = e_r[e_rc]  # source storage position (may repeat)
             d_of = np.searchsorted(rp2, nr, side="right") - 1
             for d in range(S):
                 md = d_of == d

@@ -154,3 +154,14 @@ def test_dense_setindex(be4):
     Md[ridx, 0:8] = vals
     ref[ridx] = vals
     assert_close(Md.to_numpy(), ref, np.float64)
+
+
+def test_sparse_fancy_duplicates(be4):
+    """Julia fancy-index semantics: repeated indices replicate rows/cols."""
+    A = random_sparse(16, 14, 0.3, seed=79)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    ridx = np.array([2, 2, 9, 0, 2])
+    cidx = np.array([3, 1, 1, 13])
+    S = Ad[ridx, cidx]
+    assert_close(S.to_scipy().toarray(), A.toarray()[np.ix_(ridx, cidx)],
+                 np.float64)
