@@ -204,8 +204,9 @@ class DiaSpGEMMPlan:
         OA = _global_offsets(stA)
         OB = _global_offsets(stB)
         OC = _global_offsets(c_structure)
-        if OA is None or OB is None or OC is None:
-            return
+        if OA is None or OB is None or OC is None or not OA or not OB:
+            return  # (an operand with zero stored entries uses the pair
+            # engine's trivially-empty execution)
         rowsA = int(np.diff(stA.row_partition).sum())
         rowsB = int(np.diff(stB.row_partition).sum())
         if (len(OA) * rowsA > 3 * max(stA.nnz, 1) + 1024 or

@@ -83,9 +83,11 @@ class SpMVPlan:
                     if len(per_shard[s]) else np.zeros(0, np.int64)
                 scat[s, : st.nnz_local[s]] = oidx * Lrow + rows_local
             self.dia_scatter = jax.device_put(scat, A.backend.row_sharding())
-            # pad widths so every shifted slice of the gathered buffer is valid
-            self.bias_lo = max(0, -min(self.offsets))
-            need_hi = max(self.offsets) + Lrow - exchange.out_pad
+            # pad widths so every shifted slice of the gathered buffer is
+            # valid (an all-zero matrix has no offsets and needs no padding)
+            self.bias_lo = max(0, -min(self.offsets)) if self.offsets else 0
+            need_hi = (max(self.offsets) + Lrow - exchange.out_pad) \
+                if self.offsets else 0
             self.bias_hi = max(0, need_hi)
             self.densify = False
         else:

@@ -154,3 +154,29 @@ def test_empty_diag(be4):
     Ad = hl.DistSparseMatrix.from_scipy(A, be4)
     assert len(Ad.diag(15)) == 0
     assert len(Ad.diag(-15)) == 0
+
+
+def test_degenerate_shapes(be4):
+    """1x1, all-zero-row, fully-empty, tall/wide matrices (edge battery)."""
+    import scipy.sparse as sp
+
+    A1 = sp.csr_matrix(np.array([[3.0]]))
+    Ad1 = hl.DistSparseMatrix.from_scipy(A1, be4)
+    x1 = hl.DistVector.from_global(np.array([2.0]), be4)
+    assert_close((Ad1 @ x1).to_numpy(), np.array([6.0]), np.float64)
+    assert_close((Ad1 @ Ad1).to_scipy().toarray(), np.array([[9.0]]), np.float64)
+
+    E = sp.csr_matrix((6, 6))
+    Ed = hl.DistSparseMatrix.from_scipy(E, be4)
+    xe = hl.DistVector.rand(6, be4)
+    assert np.abs((Ed @ xe).to_numpy()).max() == 0
+    assert (Ed @ Ed).nnz() == 0
+    assert Ed.transpose_materialized().nnz() == 0
+    assert_close(Ed.add_identity(2.0).to_scipy().toarray(), 2 * np.eye(6),
+                 np.float64)
+
+    T = random_sparse(40, 3, 0.4, seed=141)
+    W = random_sparse(3, 40, 0.4, seed=142)
+    Td = hl.DistSparseMatrix.from_scipy(T, be4)
+    Wd = hl.DistSparseMatrix.from_scipy(W, be4)
+    assert_close((Td @ Wd).to_scipy().toarray(), (T @ W).toarray(), np.float64)
