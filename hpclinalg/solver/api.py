@@ -211,11 +211,17 @@ def _csr_values(A) -> np.ndarray:
     return vals
 
 
-def ldlt(A) -> Factorization:
+def ldlt(A, method: str = "host"):
     """Ref: ldlt (mumps_factorization.jl:259). Symmetric (possibly complex-
-    symmetric) LDLᵀ with static pivoting."""
+    symmetric) LDLᵀ with static pivoting. ``method="device"`` selects the
+    accelerator-resident batched Cholesky (SPD only; see
+    docs/device_solver_design.md)."""
     if A.m != A.ncols:
         raise ValueError("ldlt requires a square matrix")
+    if method == "device":
+        from .device_chol import DeviceFactorization
+
+        return DeviceFactorization(A)
     return Factorization(A, "ldlt")
 
 

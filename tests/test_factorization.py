@@ -144,3 +144,23 @@ def test_finalize(be4):
     F.finalize()
     with pytest.raises(RuntimeError):
         F.solve(hl.DistVector.from_global(rand_vector(16), be4))
+
+
+def test_device_cholesky(be4):
+    """Accelerator-resident batched Cholesky (ldlt method='device')."""
+    import pytest
+
+    A = laplace2d(8)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    b = rand_vector(64)
+    bd = hl.DistVector.from_global(b, be4)
+    F = hl.ldlt(Ad, method="device")
+    x = F.solve(bd)
+    assert _resid(A, x.to_numpy(), b) < 1e-10  # f64 on the x64 CPU mesh
+    F.refactorize(Ad * 3.0)
+    x2 = F.solve(bd)
+    assert np.linalg.norm(3 * (A @ x2.to_numpy()) - b) / np.linalg.norm(b) < 1e-10
+    # non-SPD rejected with a clear error
+    N = (A - 5 * sp.eye(64)).tocsr()
+    with pytest.raises(ValueError):
+        hl.ldlt(hl.DistSparseMatrix.from_scipy(N, be4), method="device")
