@@ -593,11 +593,30 @@ static void solve_impl(
       if (nr > 0) {
         tmp.assign((size_t)nr, T(0));
         for (i64 t = 0; t < nr; ++t) tmp[t] = y[rows[r0 + t]];
-        Blas<T>::gemv('N', (blasint)nc, (blasint)nr, T(-1), &U12[l21_off[k]],
-                      (blasint)nc, tmp.data(), 1, T(1), &y[j0], 1);
+        if (nr * nc <= kSmallSolve) {
+          // y[j0:] -= U12 tmp (U12 is (nc x nr) col-major)
+          for (i64 j = 0; j < nr; ++j) {
+            const T tj = tmp[j];
+            if (tj == T(0)) continue;
+            const T *col = &U12[l21_off[k] + (size_t)j * nc];
+            for (i64 i = 0; i < nc; ++i) y[j0 + i] -= col[i] * tj;
+          }
+        } else
+          Blas<T>::gemv('N', (blasint)nc, (blasint)nr, T(-1), &U12[l21_off[k]],
+                        (blasint)nc, tmp.data(), 1, T(1), &y[j0], 1);
       }
-      Blas<T>::trsv('U', 'N', 'N', (blasint)nc, &U11[l11_off[k]], (blasint)nc,
-                    &y[j0], 1);
+      if (nc * nc <= kSmallSolve) {
+        // non-unit upper backward substitution
+        const T *U0 = &U11[l11_off[k]];
+        for (i64 j = nc - 1; j >= 0; --j) {
+          const T xj = y[j0 + j] / U0[(size_t)j * nc + j];
+          y[j0 + j] = xj;
+          const T *col = &U0[(size_t)j * nc];
+          for (i64 i = 0; i < j; ++i) y[j0 + i] -= col[i] * xj;
+        }
+      } else
+        Blas<T>::trsv('U', 'N', 'N', (blasint)nc, &U11[l11_off[k]], (blasint)nc,
+                      &y[j0], 1);
     }
   }
 }
