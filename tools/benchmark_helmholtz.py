@@ -1,4 +1,6 @@
 """Complex Helmholtz LU + block-matrix API over a multi-shard mesh —
+(run with --cpu: complex device arrays are UNIMPLEMENTED on some TPU
+generations, including the v5e used in round-1 benchmarking) —
 BASELINE.md workload 5 ("ComplexF64 Helmholtz LU + block-matrix API on
 sub-meshes, 8-64 shards"; shard counts here bounded by available devices).
 
