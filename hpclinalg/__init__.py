@@ -28,7 +28,17 @@ from .dense import DistDenseMatrix
 from .lazy import LazyTranspose
 from .ops.repartition import repartition_dense, repartition_vector
 from .ops.sparse_build import spdiagm, speye, sprand_dist, spzeros
-from .ops.blocks import blockdiag, cat_sparse, hcat_sparse, vcat_sparse
+from .ops.blocks import (
+    blockdiag,
+    cat,
+    cat_dense,
+    cat_sparse,
+    hcat_dense,
+    hcat_sparse,
+    vcat_dense,
+    vcat_sparse,
+    vcat_vectors,
+)
 from .ops.map_rows import map_rows, vertex_indices
 from .solver.api import BackslashCache, Factorization, ldlt, lu, solve
 from .utils.io import io0
@@ -42,8 +52,9 @@ __all__ = [
     "partition_hash", "sparse_structural_hash", "dense_structural_hash",
     "uniform_partition", "DistVector", "DistSparseMatrix", "DistDenseMatrix",
     "LazyTranspose", "repartition_vector", "repartition_dense",
-    "spdiagm", "speye", "sprand_dist", "spzeros", "blockdiag", "cat_sparse",
-    "hcat_sparse", "vcat_sparse", "map_rows", "vertex_indices",
+    "spdiagm", "speye", "sprand_dist", "spzeros", "blockdiag", "cat",
+    "cat_sparse", "hcat_sparse", "vcat_sparse", "cat_dense", "hcat_dense",
+    "vcat_dense", "vcat_vectors", "map_rows", "vertex_indices",
     "Factorization", "BackslashCache", "lu", "ldlt", "solve", "io0",
     "Symmetric", "warmup", "profile_trace", "annotate",
     "to_backend", "comm_rank", "comm_size", "clear_solver_caches",

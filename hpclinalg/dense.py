@@ -206,9 +206,11 @@ class DistDenseMatrix:
         if not np.array_equal(x.partition, self.row_partition):
             x = x.repartition(self.row_partition)
         full = _dense_rmatvec(self.data, x.data)  # (ncols,) replicated
-        return DistVector.from_global(np.asarray(full), self.backend,
-                                      partition=self.col_partition,
-                                      dtype=full.dtype)
+        from .parallel.mesh import scatter_from_full
+
+        return DistVector(scatter_from_full(full, self.col_partition,
+                                            self.backend),
+                          self.col_partition, self.backend)
 
     def matmat(self, B: "DistDenseMatrix") -> "DistDenseMatrix":
         if self.ncols != B.m:

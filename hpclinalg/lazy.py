@@ -23,7 +23,10 @@ class LazyTranspose:
 
     @property
     def shape(self):
-        m, n = self.parent.shape
+        shp = self.parent.shape
+        if len(shp) == 1:  # row vector: transpose(v)
+            return (1, shp[0])
+        m, n = shp
         return (n, m)
 
     @property
@@ -43,6 +46,21 @@ class LazyTranspose:
         from .vector import DistVector
 
         p = self.parent
+        if isinstance(p, DistVector):
+            # row-vector algebra (ref: transpose(v) handling, vectors.jl:738)
+            if isinstance(o, DistVector):
+                # transpose(v) * w — plain (non-conjugating) inner product
+                import jax.numpy as jnp
+
+                w = p._aligned(o)
+                return jnp.sum(p.data * w.data)
+            if isinstance(o, (DistSparseMatrix, DistDenseMatrix)):
+                # vᵀ A = (Aᵀ v)ᵀ
+                return LazyTranspose(o.T @ p)
+            if isinstance(o, LazyTranspose):
+                # vᵀ Aᵀ = (A v)ᵀ
+                return LazyTranspose(o.parent @ p)
+            return NotImplemented
         if isinstance(o, DistVector):
             if isinstance(p, DistDenseMatrix):
                 return p.rmatvec(o)  # no materialization (dense.jl:1000-1261)
@@ -64,6 +82,25 @@ class LazyTranspose:
         return NotImplemented
 
     __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        """Right division (ref: HPCLinearAlgebra.jl:713-744):
+        ``transpose(v) / A  = transpose(Aᵀ \\ v)`` and
+        ``transpose(v) / Aᵀ = transpose(A \\ v)``."""
+        from .sparse import DistSparseMatrix
+        from .vector import DistVector
+
+        if isinstance(self.parent, DistVector):
+            from .solver.api import solve as _solve
+
+            if isinstance(o, LazyTranspose) and isinstance(o.parent,
+                                                           DistSparseMatrix):
+                return LazyTranspose(_solve(o.parent, self.parent))
+            if isinstance(o, DistSparseMatrix):
+                return LazyTranspose(_solve(LazyTranspose(o), self.parent))
+        if np.isscalar(o) or isinstance(o, (int, float, complex)):
+            return LazyTranspose(self.parent / o)
+        return NotImplemented
 
     def __neg__(self):
         return LazyTranspose(-self.parent)

@@ -131,6 +131,128 @@ def cat_sparse(*blocks, dims=1):
     return _run_blocks(backend, key, placed)
 
 
+def _grid_offsets(blocks, dims):
+    """Arrange blocks in a grid and validate consistent heights/widths;
+    returns (grid, row_offsets, col_offsets)."""
+    if isinstance(dims, tuple):
+        bm, bn = dims
+        if len(blocks) != bm * bn:
+            raise ValueError("block count does not match grid")
+        grid = [list(blocks[i * bn:(i + 1) * bn]) for i in range(bm)]
+    elif dims == 1:
+        grid = [[b] for b in blocks]
+    elif dims == 2:
+        grid = [list(blocks)]
+    else:
+        raise ValueError("dims must be 1, 2 or a (nrows, ncols) tuple")
+    row_off = [0]
+    for brow in grid:
+        h = brow[0].m
+        if any(b.m != h for b in brow):
+            raise ValueError("inconsistent block heights in a grid row")
+        row_off.append(row_off[-1] + h)
+    col_off = [0]
+    for j in range(len(grid[0])):
+        w = grid[0][j].ncols
+        if any(brow[j].ncols != w for brow in grid):
+            raise ValueError("inconsistent block widths in a grid column")
+        col_off.append(col_off[-1] + w)
+    return grid, row_off, col_off
+
+
+def cat_dense(*blocks, dims=1):
+    """Concatenate distributed dense matrices (ref: cat for HPCMatrix,
+    blocks.jl:183). Rows move through one cached ExchangePlan per block with
+    full-row payloads; column placement is a local static update."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..dense import DistDenseMatrix
+    from ..hashing import partition_hash
+    from ..partition import padded_size
+    from .gather import scatter_exchange_plan
+
+    grid, row_off, col_off = _grid_offsets(blocks, dims)
+    backend = grid[0][0].backend
+    S = backend.nshards
+    M, N = row_off[-1], col_off[-1]
+    rp2 = uniform_partition(M, S)
+    dtype = np.result_type(*[b.dtype for b in blocks])
+    out = jnp.zeros((S, padded_size(rp2), N), dtype=dtype)
+    p2h = partition_hash(rp2)
+    for i, brow in enumerate(grid):
+        for j, B in enumerate(brow):
+            ro = row_off[i]
+
+            def build(B=B, ro=ro):
+                dst = [ro + np.arange(B.row_partition[s], B.row_partition[s + 1])
+                       for s in range(S)]
+                return scatter_exchange_plan(backend, B.row_partition, dst, rp2)
+
+            plan = cached_plan(
+                "dense_cat_rows",
+                (partition_hash(B.row_partition), p2h, ro, backend.key), build)
+            moved = plan.apply(B.data.astype(dtype))  # (S, Lout, w)
+            out = out.at[:, :, col_off[j]:col_off[j + 1]].add(moved)
+    return DistDenseMatrix(jax.device_put(out, backend.row_sharding(1)),
+                           rp2, N, backend)
+
+
+def vcat_dense(*blocks):
+    return cat_dense(*blocks, dims=1)
+
+
+def hcat_dense(*blocks):
+    return cat_dense(*blocks, dims=2)
+
+
+def vcat_vectors(*vs):
+    """Concatenate distributed vectors (ref: vcat for HPCVector,
+    blocks.jl:304-445) — one cached scatter ExchangePlan per input."""
+    from ..hashing import partition_hash
+    from ..vector import DistVector
+    from .gather import scatter_exchange_plan
+
+    backend = vs[0].backend
+    S = backend.nshards
+    n = sum(len(v) for v in vs)
+    p2 = uniform_partition(n, S)
+    p2h = partition_hash(p2)
+    dtype = np.result_type(*[v.dtype for v in vs])
+    out = None
+    off = 0
+    for v in vs:
+        def build(v=v, off=off):
+            dst = [off + np.arange(v.partition[s], v.partition[s + 1])
+                   for s in range(S)]
+            return scatter_exchange_plan(backend, v.partition, dst, p2)
+
+        plan = cached_plan("vec_cat", (v.partition_hash, p2h, off, backend.key),
+                           build)
+        out = plan.apply(v.data.astype(dtype), base=out)
+        off += len(v)
+    return DistVector(out, p2, backend)
+
+
+def cat(*blocks, dims=1):
+    """Type-dispatching cat covering all three container families
+    (ref: blocks.jl:30/183/304)."""
+    from ..dense import DistDenseMatrix
+    from ..sparse import DistSparseMatrix
+    from ..vector import DistVector
+
+    b0 = blocks[0]
+    if isinstance(b0, DistSparseMatrix):
+        return cat_sparse(*blocks, dims=dims)
+    if isinstance(b0, DistDenseMatrix):
+        return cat_dense(*blocks, dims=dims)
+    if isinstance(b0, DistVector):
+        if dims != 1:
+            raise ValueError("vectors only concatenate along dims=1")
+        return vcat_vectors(*blocks)
+    raise TypeError(f"unsupported block type {type(b0)}")
+
+
 def vcat_sparse(*blocks):
     return cat_sparse(*blocks, dims=1)
 

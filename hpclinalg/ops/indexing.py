@@ -148,6 +148,15 @@ def vector_setindex(v, key, value):
     if len(src) != len(ids):
         raise ValueError("value length must match index count")
 
+    if len(ids) and len(np.unique(ids)) != len(ids):
+        # last-write-wins on duplicate indices (Julia setindex! semantics);
+        # ExchangePlan requires unique scatter positions per shard, and JAX
+        # scatter-set leaves duplicate-index winners unspecified
+        _, first_in_rev = np.unique(ids[::-1], return_index=True)
+        keep = np.sort(len(ids) - 1 - first_in_rev)
+        ids = ids[keep]
+        src = src[keep]
+
     sp = src.partition
     dst_global = [ids[sp[s]: sp[s + 1]] for s in range(nshards_of(sp))]
     plan = cached_plan(

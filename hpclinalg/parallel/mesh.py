@@ -58,6 +58,27 @@ def allgather_full(x: jax.Array, partition: np.ndarray, backend: Backend) -> jax
     return jnp.take(flat, idx, axis=0)
 
 
+def scatter_from_full(arr: jax.Array, partition: np.ndarray,
+                      backend: Backend) -> jax.Array:
+    """Replicated full (n, ...) device array -> stacked shards (S, L, ...)
+    with zero padding — the inverse of :func:`allgather_full`, entirely on
+    device (no host round-trip)."""
+    from ..partition import padded_size
+
+    L = padded_size(partition)
+    S = nshards_of(partition)
+
+    def build():
+        idx = _unpad_index(partition, L)
+        return jax.device_put(idx, backend.replicated())
+
+    idx = cached_plan("unpad_index", (partition_hash(partition), L, backend.key),
+                      build)
+    flat = jnp.zeros((S * L,) + arr.shape[1:], arr.dtype).at[idx].set(arr)
+    return jax.device_put(flat.reshape((S, L) + arr.shape[1:]),
+                          backend.row_sharding())
+
+
 def gather_to_host(x: jax.Array, partition: np.ndarray) -> np.ndarray:
     """Host copy of the full (unpadded) array in global order."""
     arr = np.asarray(x)

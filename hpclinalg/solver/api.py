@@ -111,6 +111,18 @@ class Factorization:
     def refactorize(self, A) -> "Factorization":
         if A.hash != self.structural_hash:
             raise ValueError("refactorize requires the same sparsity pattern")
+        new_dtype = np.dtype(np.complex128 if np.issubdtype(
+            np.dtype(A.dtype), np.complexfloating) else np.float64)
+        if new_dtype != self.dtype:
+            # value dtype changed (e.g. real -> complex values on the same
+            # pattern): rebuild the numeric engine instead of silently casting
+            # to the stale dtype (ref pins A and b to one T,
+            # HPCLinearAlgebra.jl:643-744, so this cannot arise there)
+            self.dtype = new_dtype
+            self._A_host = None
+            self.native = (NativeFactor(self.sym, self.dtype)
+                           if self._lib is not None else None)
+            self.num = None
         self.A = A
         self._numeric(A)
         return self
@@ -119,6 +131,20 @@ class Factorization:
         if self.native is not None:
             return self.native.solve(self._lib, bh, transpose=transpose)
         return solve_factored(self.num, bh, transpose=transpose)
+
+    def _solve_refined(self, bh: np.ndarray, transpose: bool,
+                       refine: int) -> np.ndarray:
+        """Solve + iterative refinement with host residuals in full
+        precision — no device round-trips, exact f64 regardless of the TPU's
+        x64 mode. ``bh`` must already be self.dtype."""
+        x = self._solve_host(bh, transpose)
+        Ah = self._A_host.T if transpose else self._A_host
+        for _ in range(refine):
+            r = bh - Ah @ x
+            if not np.isfinite(r).all():
+                break
+            x = x + self._solve_host(r, transpose)
+        return x
 
     def solve(self, b, transpose: bool = False, refine: int | None = None):
         """Solve A x = b (or Aᵀ x = b). b: DistVector or host array; returns
@@ -135,18 +161,19 @@ class Factorization:
         is_dist = isinstance(b, DistVector)
         bh = b.to_numpy() if is_dist else np.asarray(b)
         dtype = np.result_type(bh.dtype, self.dtype)
-        bh = bh.astype(self.dtype)
-        x = self._solve_host(bh, transpose)
-
-        # iterative refinement with host residuals in full precision — no
-        # device round-trips, exact f64 regardless of the TPU's x64 mode
-        Ah = self._A_host.T if transpose else self._A_host
-        for _ in range(refine):
-            r = bh - Ah @ x
-            if not np.isfinite(r).all():
-                break
-            x = x + self._solve_host(r, transpose)
-        x = x.astype(dtype)
+        if (np.issubdtype(bh.dtype, np.complexfloating)
+                and not np.issubdtype(self.dtype, np.complexfloating)):
+            # real factorization, complex RHS: solve Re(b) and Im(b)
+            # separately — casting to the real dtype would silently drop
+            # Im(b) (the reference's same-eltype dispatch forbids the mix)
+            xr = self._solve_refined(np.ascontiguousarray(bh.real), transpose,
+                                     refine)
+            xi = self._solve_refined(np.ascontiguousarray(bh.imag), transpose,
+                                     refine)
+            x = (xr + 1j * xi).astype(dtype)
+        else:
+            x = self._solve_refined(bh.astype(self.dtype), transpose,
+                                    refine).astype(dtype)
 
         if is_dist:
             return DistVector.from_global(x, self.backend,
@@ -248,25 +275,25 @@ class BackslashCache:
         if symmetric is None:
             symmetric = A.issymmetric()
         kind = "ldlt" if symmetric else "lu"
-        key = (A.hash, kind, str(np.dtype(A.backend.dtype)))
+        # key includes the matrix's VALUE dtype: a complex-valued matrix on a
+        # real-valued pattern twin must not hit the real factorization (the
+        # reference dispatches on a single T, HPCLinearAlgebra.jl:643-744)
+        key = (A.hash, kind, str(np.dtype(A.dtype)),
+               str(np.dtype(A.backend.dtype)))
         c = BackslashCache._cache()
         F = c.get(key)
         if F is None:
             F = Factorization(A, kind)
             c[key] = F
-            F._vals_id = _vals_fingerprint(A)
+            F._vals_ref = A.nzval
         else:
-            fp = _vals_fingerprint(A)
-            if F._vals_id != fp:
+            # identity of the value array detects value swaps. Holding a
+            # strong reference (not just id()) makes this immune to id
+            # recycling after the old array is garbage-collected.
+            if F._vals_ref is not A.nzval:
                 F.refactorize(A)
-                F._vals_id = fp
+                F._vals_ref = A.nzval
         return F.solve(b, transpose=transpose)
-
-
-def _vals_fingerprint(A):
-    """Cheap identity of the value array to detect when a cached
-    factorization must be numerically refreshed."""
-    return id(A.nzval)
 
 
 def solve(A, b, symmetric: bool | None = None):

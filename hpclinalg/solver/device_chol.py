@@ -232,9 +232,14 @@ class DeviceFactorization:
         Ap = sp.csc_matrix(csr[self.engine.sym.perm][:, self.engine.sym.perm])
         Ap.sort_indices()
         self.factors = self.engine.factor(np.ascontiguousarray(Ap.data))
-        # SPD check: cholesky NaNs on non-SPD input
-        probe = self.factors[0][-1]
-        if not bool(jnp.isfinite(probe).all()):
+        # SPD check: cholesky NaNs on non-SPD input. Check EVERY level's
+        # batches — with multiple elimination-forest roots (block-diagonal
+        # systems) a non-SPD component can finish below the last level and
+        # never propagate NaN upward. One fused readback for all levels.
+        L11s, L21s = self.factors
+        finite = jnp.stack([jnp.isfinite(x).all()
+                            for x in (*L11s, *L21s)]).all()
+        if not bool(finite):
             raise ValueError("device Cholesky requires an SPD matrix "
                              "(use the host ldlt for indefinite systems)")
 
@@ -246,17 +251,23 @@ class DeviceFactorization:
         return self
 
     def solve(self, b, transpose: bool = False, refine: int | None = None):
+        from ..parallel.mesh import allgather_full, scatter_from_full
         from ..vector import DistVector
 
         if self.factors is None:
             raise RuntimeError("factorization was finalized")
         is_dist = isinstance(b, DistVector)
-        bh = b.to_numpy() if is_dist else np.asarray(b)
-        x = np.asarray(self.engine.solve(self.factors, bh))
         if is_dist:
-            return DistVector.from_global(x, self.backend,
-                                          partition=self.A.row_partition,
-                                          dtype=x.dtype)
+            # device-resident end-to-end: all_gather the RHS on device, run
+            # the compiled solve, scatter the solution back to the row
+            # partition — no host round-trip (ref: cuDSS keeps the RHS on
+            # GPUs, CUDAExt:835-885)
+            bg = allgather_full(b.data, b.partition, self.backend)
+            x = self.engine.solve(self.factors, bg)
+            return DistVector(
+                scatter_from_full(x, self.A.row_partition, self.backend),
+                self.A.row_partition, self.backend)
+        x = np.asarray(self.engine.solve(self.factors, np.asarray(b)))
         return x
 
     def finalize(self):

@@ -459,10 +459,14 @@ class DistSparseMatrix:
             else:
                 At = self.transpose_materialized()
                 if At.structure.hash != self.structure.hash:
-                    # patterns differ under identical partitions -> compare as scipy
-                    a, b = self.to_scipy(), At.to_scipy()
-                    d = (a - b)
-                    self._issym = (abs(d).max() if d.nnz else 0.0) == 0.0
+                    # patterns differ: distributed value comparison via the
+                    # AdditionPlan (ref does a distributed row comparison,
+                    # HPCLinearAlgebra.jl:391-618) — no host gather; padding
+                    # is zero so a device max-abs readback decides
+                    D = self - At
+                    nz = D.nzval
+                    self._issym = (not nz.size) or bool(
+                        jnp.max(jnp.abs(nz)) == 0)
                 else:
                     self._issym = bool(
                         jnp.all(self.nzval == At.nzval).item()

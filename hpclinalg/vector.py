@@ -281,6 +281,14 @@ class DistVector:
             else jnp.iinfo(self.dtype).max
         return jnp.min(_where_mask(self.mask(), self.data, fill))
 
+    @property
+    def T(self):
+        """Row vector, transpose(v) (ref: vectors.jl:738) — enables
+        ``v.T @ A``, ``v.T @ w`` and right division ``v.T / A``."""
+        from .lazy import LazyTranspose
+
+        return LazyTranspose(self)
+
     # -- structure ops ---------------------------------------------------------
     def repartition(self, new_partition: np.ndarray) -> "DistVector":
         from .ops.repartition import repartition_vector

@@ -57,6 +57,69 @@ def test_blocks_plan_reuse(be4):
     assert hl.cache_sizes().get("blocks_plan", 0) == n0 + 1
 
 
+def test_dense_vcat_hcat(cfg):
+    """Ref: cat for HPCMatrix (blocks.jl:183)."""
+    from utils import assert_padding_zero, dense_matrix
+
+    be, dtype = cfg
+    A = dense_matrix(7, 5, dtype, seed=21)
+    B = dense_matrix(4, 5, dtype, seed=22)
+    C = dense_matrix(7, 3, dtype, seed=23)
+    Ad = hl.DistDenseMatrix.from_global(A, be, dtype=dtype)
+    Bd = hl.DistDenseMatrix.from_global(B, be, dtype=dtype)
+    Cd = hl.DistDenseMatrix.from_global(C, be, dtype=dtype)
+    V = hl.vcat_dense(Ad, Bd)
+    assert_close(V.to_numpy(), np.vstack([A, B]), dtype)
+    assert_padding_zero(V)
+    H = hl.hcat_dense(Ad, Cd)
+    assert_close(H.to_numpy(), np.hstack([A, C]), dtype)
+    assert_padding_zero(H)
+
+
+def test_dense_grid_cat(cfg):
+    from utils import dense_matrix
+
+    be, dtype = cfg
+    blocks = [dense_matrix(m, n, dtype, seed=30 + i)
+              for i, (m, n) in enumerate([(6, 4), (6, 7), (3, 4), (3, 7)])]
+    dist = [hl.DistDenseMatrix.from_global(b, be, dtype=dtype) for b in blocks]
+    G = hl.cat(*dist, dims=(2, 2))
+    ref = np.block([[blocks[0], blocks[1]], [blocks[2], blocks[3]]])
+    assert_close(G.to_numpy(), ref, dtype)
+
+
+def test_vector_cat(cfg):
+    """Ref: vcat for HPCVector (blocks.jl:304-445)."""
+    from utils import assert_padding_zero, rand_vector
+
+    be, dtype = cfg
+    a = rand_vector(9, dtype, seed=41)
+    b = rand_vector(4, dtype, seed=42)
+    c = rand_vector(13, dtype, seed=43)
+    va = hl.DistVector.from_global(a, be, dtype=dtype)
+    vb = hl.DistVector.from_global(b, be, dtype=dtype)
+    vc = hl.DistVector.from_global(c, be, dtype=dtype)
+    V = hl.vcat_vectors(va, vb, vc)
+    assert_close(V.to_numpy(), np.concatenate([a, b, c]), dtype)
+    assert_padding_zero(V)
+    # generic dispatcher
+    V2 = hl.cat(va, vb, vc)
+    assert_close(V2.to_numpy(), np.concatenate([a, b, c]), dtype)
+
+
+def test_dense_cat_plan_reuse(be4):
+    from utils import dense_matrix
+
+    A = dense_matrix(6, 4, np.float64, seed=51)
+    B = dense_matrix(5, 4, np.float64, seed=52)
+    Ad = hl.DistDenseMatrix.from_global(A, be4)
+    Bd = hl.DistDenseMatrix.from_global(B, be4)
+    n0 = hl.cache_sizes().get("dense_cat_rows", 0)
+    _ = hl.vcat_dense(Ad, Bd)
+    _ = hl.vcat_dense(Ad * 2.0, Bd * 3.0)  # same partitions -> cached plans
+    assert hl.cache_sizes().get("dense_cat_rows", 0) == n0 + 2
+
+
 def test_ops_on_cat_result(be4):
     A, Ad = _mk(be4, np.float64, 5, 9, 94)
     B, Bd = _mk(be4, np.float64, 4, 9, 95)

@@ -146,6 +146,98 @@ def test_finalize(be4):
         F.solve(hl.DistVector.from_global(rand_vector(16), be4))
 
 
+def test_right_division(be4):
+    """transpose(v)/A and transpose(v)/At (ref: HPCLinearAlgebra.jl:713-744,
+    exercised by test_factorization.jl's right-division cases)."""
+    rng = np.random.default_rng(104)
+    A = (laplace2d(5) + sp.random(25, 25, 0.08, random_state=rng)).tocsr()
+    v = rand_vector(25)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    vd = hl.DistVector.from_global(v, be4)
+    # v' / A = (A' \ v)'  -> row vector y with y A = v'
+    yt = vd.T / Ad
+    y = yt.T.to_numpy()
+    assert np.linalg.norm(A.T @ y - v) / np.linalg.norm(v) < 1e-10
+    # v' / A' = (A \ v)'
+    zt = vd.T / Ad.T
+    z = zt.T.to_numpy()
+    assert np.linalg.norm(A @ z - v) / np.linalg.norm(v) < 1e-10
+
+
+def test_row_vector_algebra(be4):
+    """transpose(v) * A and transpose(v) * w (ref: vectors.jl:738)."""
+    A = laplace2d(4)
+    v = rand_vector(16, seed=7)
+    w = rand_vector(16, seed=8)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    vd = hl.DistVector.from_global(v, be4)
+    wd = hl.DistVector.from_global(w, be4)
+    assert_close(np.asarray(vd.T @ wd), v @ w, np.float64)
+    r = (vd.T @ Ad).T.to_numpy()
+    assert_close(r, A.T @ v, np.float64)
+
+
+def test_complex_rhs_real_factorization(be4):
+    """Real factorization + complex RHS must solve Re/Im separately, not
+    truncate Im(b) (ADVICE r1 medium finding)."""
+    A = laplace2d(5)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    b = rand_vector(25, np.complex128)
+    F = hl.ldlt(Ad)
+    x = F.solve(b)
+    assert np.iscomplexobj(x)
+    assert np.linalg.norm(A @ x - b) / np.linalg.norm(b) < 1e-10
+    assert np.linalg.norm(x.imag) > 0
+
+
+def test_backslash_cache_dtype_keyed(be4):
+    """A complex-valued matrix with the same PATTERN as a cached real one
+    must not hit the real factorization (ADVICE r1 high finding)."""
+    A = laplace2d(5)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    b = rand_vector(25)
+    bd = hl.DistVector.from_global(b, be4)
+    _ = hl.solve(Ad, bd)  # populate the cache with the real factorization
+    bez = be4.with_dtype(np.complex128)
+    Az = (A + 0.5j * sp.diags(np.ones(25))).tocsr()
+    Azd = hl.DistSparseMatrix.from_scipy(Az, bez, dtype=np.complex128)
+    bz = rand_vector(25, np.complex128)
+    xz = hl.solve(Azd, hl.DistVector.from_global(bz, bez, dtype=np.complex128))
+    assert np.linalg.norm(Az @ xz.to_numpy() - bz) / np.linalg.norm(bz) < 1e-10
+
+
+def test_backslash_refactorize_fires_on_value_swap(be4):
+    """Regression for the id()-recycling fingerprint: the cache must hold a
+    strong reference, and any nzval swap must trigger refactorization."""
+    import gc
+
+    A = laplace2d(6)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    b = rand_vector(36)
+    bd = hl.DistVector.from_global(b, be4)
+    x1 = hl.solve(Ad, bd)
+    assert _resid(A, x1.to_numpy(), b) < 1e-10
+    # force many value-array swaps + GC churn to tempt id reuse
+    for k in range(5):
+        old = Ad.nzval
+        Ad.nzval = Ad.nzval * 2.0
+        Ad._engine_cache = {}
+        del old
+        gc.collect()
+    x2 = hl.solve(Ad, bd)
+    assert np.linalg.norm(32 * (A @ x2.to_numpy()) - b) / np.linalg.norm(b) < 1e-10
+
+
+def test_device_cholesky_blockdiag_non_spd(be4):
+    """Non-SPD component whose root finishes below the last level must still
+    be rejected (ADVICE r1 low finding: multi-root elimination forest)."""
+    import pytest
+
+    N = sp.block_diag([(laplace2d(4) - 5 * sp.eye(16)), laplace2d(7)]).tocsr()
+    with pytest.raises(ValueError):
+        hl.ldlt(hl.DistSparseMatrix.from_scipy(N, be4), method="device")
+
+
 def test_device_cholesky(be4):
     """Accelerator-resident batched Cholesky (ldlt method='device')."""
     import pytest

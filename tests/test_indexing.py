@@ -57,6 +57,21 @@ def test_vector_setindex_fancy(be4):
     assert_close(v.to_numpy(), xe, np.float64)
 
 
+def test_vector_setindex_duplicate_ids(be4):
+    """Duplicate indices: last write wins (Julia setindex! semantics; ADVICE
+    r1 low finding — JAX scatter leaves the winner unspecified)."""
+    x = rand_vector(20)
+    v = hl.DistVector.from_global(x, be4)
+    idx = np.array([4, 11, 4, 7, 11, 11])
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    v[idx] = vals
+    xe = x.copy()
+    for i, val in zip(idx, vals):
+        xe[i] = val
+    assert_close(v.to_numpy(), xe, np.float64)
+    assert_padding_zero(v)
+
+
 def test_scalar_indexing_rejected(be4):
     """Ref: scalar indexing deliberately removed (indexing.jl:17-21)."""
     v = hl.DistVector.from_global(rand_vector(10), be4)
