@@ -6,9 +6,11 @@ cached transpose (indexing.jl:1276-1295); JAX arrays are immutable, so the
 wrapper swaps in a new structure + value array and resets its caches
 (SURVEY.md §7.3 item 4).
 
-The sparse rebuild is a host-side structural merge (structure metadata is
-replicated, so this is the same cost class as the reference's local CSR
-rebuild); dense range/fancy setindex runs as device scatter plans.
+The sparse rebuild is a per-shard CSR splice touching only affected rows —
+O(local nnz + inserts) numpy, the same cost class as the reference's local
+rebuild (_rebuild_AT_with_insertions, sparse.jl:191) — and the value
+movement (old kept values -> new slots, inserted values from the RHS) is a
+cached local ExchangePlan. Dense setindex is a cached device scatter.
 """
 
 from __future__ import annotations
@@ -16,6 +18,11 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
+from ..cache import cached_plan
+from ..config import round_up
+from ..hashing import _h
+from ..parallel.exchange import ExchangePlan
+from ..partition import global_to_local
 from .indexing import _normalize_slice, v_to_int_host
 
 
@@ -35,10 +42,108 @@ def _ids_of(key, n):
     raise TypeError(f"unsupported index type {type(key)}")
 
 
+def _dedup_last(ids: np.ndarray):
+    """Positions keeping the LAST occurrence of each id, original order
+    (Julia last-write-wins setindex! semantics)."""
+    if len(ids) and len(np.unique(ids)) != len(ids):
+        _, first_in_rev = np.unique(ids[::-1], return_index=True)
+        return np.sort(len(ids) - 1 - first_in_rev)
+    return None
+
+
+def _sparse_insert_plan(A, rids, cids, V_indptr, V_indices):
+    """Per-shard CSR splice: drop the (rids x cids) block's old entries,
+    insert V's pattern, and derive the value-movement maps.
+
+    Returns (new_structure, value ExchangePlan, ins_dst, ins_src) where the
+    plan moves surviving old values to their new slots and
+    ``template[s, ins_dst[s]] = V.data[ins_src[s]]`` seeds the inserted ones.
+    """
+    from ..sparse import SparseStructure
+
+    st = A.structure
+    S = A.backend.nshards
+    p = st.row_partition
+    cid_sorted = np.sort(cids)
+
+    indptr2, colind2, colval2 = [], [], []
+    old_src, old_dst, ins_dst, ins_src = [], [], [], []
+    for s in range(S):
+        ip = st.indptr[s]
+        nl = len(ip) - 1
+        gcols = (st.col_indices[s][st.colval[s]] if len(st.colval[s])
+                 else np.zeros(0, np.int64))
+        rows_l = np.repeat(np.arange(nl, dtype=np.int64), np.diff(ip))
+
+        owned = (rids >= p[s]) & (rids < p[s + 1])
+        al = rids[owned] - p[s]
+        row_affected = np.zeros(nl, dtype=bool)
+        row_affected[al] = True
+        if len(gcols) and len(cid_sorted):
+            pos = np.minimum(np.searchsorted(cid_sorted, gcols),
+                             len(cid_sorted) - 1)
+            in_cids = cid_sorted[pos] == gcols
+        else:
+            in_cids = np.zeros(len(gcols), dtype=bool)
+        keep = ~(row_affected[rows_l] & in_cids)
+
+        kept_rows = rows_l[keep]
+        kept_cols = gcols[keep]
+        kept_pos = np.flatnonzero(keep)
+
+        # inserted entries from V's rows owned by this shard
+        ks = np.flatnonzero(owned)  # indices into rids / V rows
+        counts = (V_indptr[ks + 1] - V_indptr[ks]) if len(ks) \
+            else np.zeros(0, np.int64)
+        i_rows = np.repeat(al, counts)
+        if len(ks):
+            vsrc = np.concatenate(
+                [np.arange(V_indptr[k], V_indptr[k + 1]) for k in ks]
+            ).astype(np.int64) if counts.sum() else np.zeros(0, np.int64)
+        else:
+            vsrc = np.zeros(0, np.int64)
+        i_cols = cids[V_indices[vsrc]] if len(vsrc) else np.zeros(0, np.int64)
+
+        rows2 = np.concatenate([kept_rows, i_rows])
+        cols2 = np.concatenate([kept_cols, i_cols])
+        order = np.lexsort((cols2, rows2))
+        rows2, cols2 = rows2[order], cols2[order]
+
+        ip2 = np.zeros(nl + 1, dtype=np.int64)
+        np.add.at(ip2, rows2 + 1, 1)
+        indptr2.append(np.cumsum(ip2))
+        ci = np.unique(cols2)
+        colind2.append(ci)
+        colval2.append(np.searchsorted(ci, cols2).astype(np.int32))
+
+        # new slot of each concatenated entry
+        newpos = np.empty(len(order), dtype=np.int64)
+        newpos[order] = np.arange(len(order))
+        nk = len(kept_pos)
+        old_src.append(kept_pos)
+        old_dst.append(newpos[:nk])
+        ins_dst.append(newpos[nk:])
+        ins_src.append(vsrc)
+
+    st2 = SparseStructure(p, st.col_partition, indptr2, colind2, colval2,
+                          A.backend)
+    send = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
+    recv = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
+    for s in range(S):
+        send[s][s] = old_src[s]
+        recv[s][s] = old_dst[s]
+    plan = ExchangePlan(A.backend, send, recv, st2.NNZpad)
+    return st2, plan, ins_dst, ins_src
+
+
 def sparse_setindex(A, key, value) -> None:
     """A[rows, cols] = value. value: scalar, ndarray (len(rows), len(cols)),
     scipy sparse, or DistSparseMatrix. Mutates A in place: new structure,
-    new values, caches invalidated (ref: indexing.jl:1276-1295)."""
+    new values, caches invalidated (ref: indexing.jl:1276-1295). The rebuild
+    touches only the affected rows of each shard — the full matrix is never
+    gathered or densified."""
+    import jax
+
     if not isinstance(key, tuple) or len(key) != 2:
         raise TypeError("matrix setindex requires A[rows, cols] = value")
     rids = _ids_of(key[0], A.m)
@@ -47,7 +152,7 @@ def sparse_setindex(A, key, value) -> None:
     from ..sparse import DistSparseMatrix
 
     if isinstance(value, DistSparseMatrix):
-        V = value.to_scipy()
+        V = value.to_scipy().tocsr()
     elif sp.issparse(value):
         V = sp.csr_matrix(value)
     elif np.isscalar(value) or isinstance(value, (int, float, complex)):
@@ -57,14 +162,34 @@ def sparse_setindex(A, key, value) -> None:
     if V.shape != (len(rids), len(cids)):
         raise ValueError(f"value shape {V.shape} does not match index block "
                          f"({len(rids)}, {len(cids)})")
+    V.sort_indices()
 
-    # host rebuild: zero the indexed block, then insert the new entries
-    Ah = A.to_scipy().tolil()
-    Ah[np.ix_(rids, cids)] = V.toarray() if V.nnz or True else 0
-    Anew = DistSparseMatrix.from_scipy(
-        Ah.tocsr(), A.backend, row_partition=A.row_partition,
-        col_partition=A.col_partition, dtype=A.dtype,
+    kr = _dedup_last(rids)
+    if kr is not None:
+        rids, V = rids[kr], V[kr]
+    kc = _dedup_last(cids)
+    if kc is not None:
+        cids, V = cids[kc], sp.csr_matrix(V[:, kc])
+        V.sort_indices()
+
+    Vip = V.indptr.astype(np.int64)
+    Vix = V.indices.astype(np.int64)
+    st2, plan, ins_dst, ins_src = cached_plan(
+        "sparse_setindex",
+        (A.hash, _h(rids), _h(cids), _h(Vip, Vix), A.backend.key),
+        lambda: _sparse_insert_plan(A, rids, cids, Vip, Vix),
     )
+
+    S = A.backend.nshards
+    dtype = A.dtype
+    template = np.zeros((S, plan.out_pad), dtype=dtype)
+    vdata = V.data.astype(dtype)
+    for s in range(S):
+        if len(ins_dst[s]):
+            template[s, ins_dst[s]] = vdata[ins_src[s]]
+    base = jax.device_put(template, A.backend.row_sharding())
+    nz2 = plan.apply(A.nzval, base=base)
+    Anew = DistSparseMatrix(st2, nz2, A.backend)
     _replace_sparse_inplace(A, Anew)
 
 
@@ -80,9 +205,9 @@ def _replace_sparse_inplace(A, Anew) -> None:
 
 
 def dense_setindex(M, key, value) -> None:
-    """M[rows, cols] = value for distributed dense matrices — device scatter
-    through a cached plan (rows move with full-row payloads; column subset
-    applied locally)."""
+    """M[rows, cols] = value for distributed dense matrices — a cached
+    device scatter of the (rows x cols) block; the matrix itself never
+    leaves the device."""
     import jax
     import jax.numpy as jnp
 
@@ -100,14 +225,52 @@ def dense_setindex(M, key, value) -> None:
     if vals.shape != (len(rids), len(cids)):
         raise ValueError("value shape mismatch")
 
-    # build full-width rows: current rows of M at rids, with cids replaced
-    from ..partition import global_to_local
+    kr = _dedup_last(rids)
+    if kr is not None:
+        rids, vals = rids[kr], vals[kr]
+    kc = _dedup_last(cids)
+    if kc is not None:
+        cids, vals = cids[kc], vals[:, kc]
 
-    owners, loc = global_to_local(M.row_partition, rids)
-    host = np.asarray(M.data)
-    rows_full = host[owners, loc, :].astype(M.dtype)
-    rows_full[:, cids] = vals
-    # scatter the updated rows back (host-placed update: row granularity)
-    new = host.copy()
-    new[owners, loc, :] = rows_full
-    M.data = jax.device_put(new, M.backend.row_sharding(1))
+    S = M.backend.nshards
+    L, n = M.data.shape[1], M.ncols
+
+    def build():
+        owners, loc = global_to_local(M.row_partition, rids)
+        sel = [np.flatnonzero(owners == s) for s in range(S)]
+        K = max((len(sl) * len(cids) for sl in sel), default=0)
+        Kpad = max(round_up(max(K, 1), 8), 1)
+        dst = np.full((S, Kpad), L * n, dtype=np.int32)  # out-of-range drop
+        for s in range(S):
+            if len(sel[s]):
+                d = (loc[sel[s]][:, None] * n + cids[None, :]).ravel()
+                dst[s, : len(d)] = d
+        return (jax.device_put(dst, M.backend.row_sharding()), sel, Kpad)
+
+    dst_dev, sel, Kpad = cached_plan(
+        "dense_setindex",
+        (M.row_partition_hash, n, L, _h(rids), _h(cids), M.backend.key),
+        build,
+    )
+    payload = np.zeros((S, Kpad), dtype=M.dtype)
+    for s in range(S):
+        if len(sel[s]):
+            block = vals[sel[s]].astype(M.dtype).ravel()
+            payload[s, : len(block)] = block
+    pay = jax.device_put(payload, M.backend.row_sharding())
+    M.data = _scatter_flat(M.data, dst_dev, pay)
+
+
+def _scatter_flat(data, dst, payload):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(d, i, p):
+        Sn, Ln, nn = d.shape
+        flat = d.reshape(Sn, Ln * nn)
+        flat = jax.vmap(lambda f, ii, pp: f.at[ii].set(pp, mode="drop"))(
+            flat, i, p.astype(d.dtype))
+        return flat.reshape(Sn, Ln, nn)
+
+    return run(data, dst, payload)

@@ -1,0 +1,765 @@
+"""Distributed device-resident multifrontal factorization over the mesh.
+
+The TPU-native replacement for the reference's distributed direct solvers
+(MUMPS distributed-input factorization, mumps_factorization.jl:152-213;
+cuDSS MGMN multi-GPU path with the RHS staying distributed, CUDAExt:602-710,
+835-885). Design per docs/device_solver_design.md:
+
+  * **Proportional subtree mapping**: the supernode forest is split into
+    per-shard subtrees balanced by subtree flops; supernodes above the cut
+    form the replicated "top" set (the classic proportional mapping used by
+    parallel multifrontal codes).
+  * **Local phase** — all shards factor their own subtrees concurrently:
+    each level's fronts are identity-padded to one (S, B, NF, NF) batch
+    sharded P("rows"); assembly / extend-add are per-shard static scatters
+    (vmapped over the shard axis), the numeric kernels are MXU-native
+    batched ops. No collectives anywhere in the local phase.
+  * **Cross reduction** — local subtree roots scatter their update matrices
+    into a (S, CROSS) buffer; ONE cross-shard reduction (sum over the
+    sharded axis -> all-reduce) makes the contributions replicated.
+  * **Top phase** — the top tree is factored replicated (identical ops on
+    every shard), which XLA executes without further communication.
+  * **Solves** run the same wave schedule with the RHS on device end-to-end.
+
+Kinds: "chol" (SPD, jnp.linalg.cholesky), "ldl" (symmetric indefinite,
+recursive blocked unpivoted LDLᵀ with static-pivot perturbation — the MUMPS
+CNTL(4) analogue), "lu" (unsymmetric on the symmetrized pattern, recursive
+blocked unpivoted LU with perturbation). Perturbations are compensated by
+iterative refinement in the wrapper, SuperLU_DIST-style.
+
+The whole factorization is ONE jitted executable; each solve is another —
+the per-level Python loops unroll at trace time (tree depth is ~10-25 after
+relaxed amalgamation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from . import symbolic
+from .ordering import amd_order
+
+_PERT_REL = 1e-10  # relative static-pivot perturbation (matches host engine)
+
+
+# ---------------------------------------------------------------------------
+# supernode -> shard mapping
+# ---------------------------------------------------------------------------
+
+def proportional_map(sym: symbolic.SymbolicFactor, S: int) -> np.ndarray:
+    """Owner shard per supernode; -1 marks the replicated top set.
+
+    Proportional mapping: walk the forest from the roots with a shard
+    interval, splitting children proportionally to subtree flops; once an
+    interval narrows to one shard the whole subtree is local to it."""
+    ns = sym.nsuper
+    parent = sym.snode_parent
+    children = [[] for _ in range(ns)]
+    for k in range(ns):
+        p = int(parent[k])
+        if p >= 0:
+            children[p].append(k)
+    w = np.empty(ns)
+    for k in range(ns):
+        nc = int(sym.snode_ptr[k + 1] - sym.snode_ptr[k])
+        nr = len(sym.snode_rows[k])
+        w[k] = nc * float(nc + nr) ** 2 + 1.0
+    subtree = w.copy()
+    for k in range(ns):  # postorder: children precede parents
+        p = int(parent[k])
+        if p >= 0:
+            subtree[p] += subtree[k]
+
+    owner = np.full(ns, -1, dtype=np.int64)
+
+    def assign_whole(root, s):
+        stack = [root]
+        while stack:
+            v = stack.pop()
+            owner[v] = s
+            stack.extend(children[v])
+
+    roots = [k for k in range(ns) if parent[k] < 0]
+    stack = [(roots, 0, S)]
+    while stack:
+        kids, lo, hi = stack.pop()
+        total = sum(subtree[c] for c in kids)
+        acc = 0.0
+        for c in kids:
+            start = lo + (hi - lo) * acc / total
+            acc += subtree[c]
+            end = lo + (hi - lo) * acc / total
+            s0 = max(lo, int(np.floor(start + 1e-9)))
+            s1 = min(hi, int(np.ceil(end - 1e-9)))
+            if s1 - s0 <= 1:
+                assign_whole(c, min(max(s0, lo), hi - 1))
+            else:
+                # owner[c] stays -1 (top, replicated)
+                stack.append((children[c], s0, s1))
+    return owner
+
+
+# ---------------------------------------------------------------------------
+# batched unpivoted kernels (recursive blocked; trace-time recursion)
+# ---------------------------------------------------------------------------
+
+def _clamp(d, eps):
+    """Static-pivot perturbation: |d| < eps -> sign-preserving +-eps."""
+    bad = jnp.abs(d) < eps
+    safe = jnp.where(bad,
+                     jnp.where(jnp.real(d) >= 0, eps, -eps).astype(d.dtype),
+                     d)
+    return safe, jnp.sum(bad)
+
+
+def _tri(a, b, **kw):
+    return jax.lax.linalg.triangular_solve(a, b, **kw)
+
+
+def batched_ldl(F, eps):
+    """Unpivoted LDLᵀ of a (B, n, n) symmetric batch (plain transpose — also
+    valid complex-symmetric). Returns (unit-lower L, d, n_perturbed)."""
+    n = F.shape[-1]
+    if n == 1:
+        d, npert = _clamp(F[:, 0, 0], eps)
+        return jnp.ones_like(F), d[:, None], npert
+    k = n // 2
+    F11, F12 = F[:, :k, :k], F[:, :k, k:]
+    F21, F22 = F[:, k:, :k], F[:, k:, k:]
+    del F12
+    L11, d1, p1 = batched_ldl(F11, eps)
+    # W = F21 L11^{-T};  L21 = W D1^{-1};  S = F22 - L21 Wᵀ
+    W = _tri(L11, F21, left_side=False, lower=True, transpose_a=True,
+             unit_diagonal=True)
+    L21 = W / d1[:, None, :]
+    S22 = F22 - jnp.matmul(L21, jnp.swapaxes(W, 1, 2),
+                           precision=jax.lax.Precision.HIGHEST)
+    L22, d2, p2 = batched_ldl(S22, eps)
+    B = F.shape[0]
+    top = jnp.concatenate([L11, jnp.zeros((B, k, n - k), F.dtype)], axis=2)
+    bot = jnp.concatenate([L21, L22], axis=2)
+    return jnp.concatenate([top, bot], axis=1), \
+        jnp.concatenate([d1, d2], axis=1), p1 + p2
+
+
+def batched_lu(F, eps):
+    """Unpivoted LU of a (B, n, n) batch with diagonal perturbation.
+    Returns (unit-lower L, upper U, n_perturbed)."""
+    n = F.shape[-1]
+    if n == 1:
+        u, npert = _clamp(F[:, 0, 0], eps)
+        return jnp.ones_like(F), u[:, None, None], npert
+    k = n // 2
+    F11, F12 = F[:, :k, :k], F[:, :k, k:]
+    F21, F22 = F[:, k:, :k], F[:, k:, k:]
+    L11, U11, p1 = batched_lu(F11, eps)
+    U12 = _tri(L11, F12, left_side=True, lower=True, unit_diagonal=True)
+    L21 = _tri(U11, F21, left_side=False, lower=False)
+    S22 = F22 - jnp.matmul(L21, U12, precision=jax.lax.Precision.HIGHEST)
+    L22, U22, p2 = batched_lu(S22, eps)
+    B = F.shape[0]
+    zt = jnp.zeros((B, k, n - k), F.dtype)
+    L = jnp.concatenate([jnp.concatenate([L11, zt], axis=2),
+                         jnp.concatenate([L21, L22], axis=2)], axis=1)
+    U = jnp.concatenate([jnp.concatenate([U11, U12], axis=2),
+                         jnp.concatenate([jnp.zeros((B, n - k, k), F.dtype),
+                                          U22], axis=2)], axis=1)
+    return L, U, p1 + p2
+
+
+# ---------------------------------------------------------------------------
+# plan construction (host, cached per structural hash)
+# ---------------------------------------------------------------------------
+
+class _Level:
+    """Static metadata of one wave level (local: stacked (S, ...) arrays;
+    top: plain arrays)."""
+    __slots__ = ("B", "NC", "NF", "a_src", "a_dst", "diag", "ea", "ea_cross",
+                 "ccol", "crow")
+
+    def __init__(self):
+        self.ea = []        # (child_level, src, dst)
+        self.ea_cross = []  # (src_into_cross, dst) — top levels only
+
+
+def _pad2(rows_list, fill, width=None):
+    """list of 1-D int arrays -> (len, W) int32 padded with ``fill``."""
+    W = width if width is not None else max((len(r) for r in rows_list),
+                                            default=0)
+    W = max(W, 1)
+    out = np.full((len(rows_list), W), fill, dtype=np.int32)
+    for i, r in enumerate(rows_list):
+        out[i, : len(r)] = r
+    return out
+
+
+class DeviceMF:
+    """Mesh-distributed multifrontal engine for one sparsity pattern."""
+
+    def __init__(self, A_csr: sp.csr_matrix, backend, kind: str = "ldl",
+                 dtype=np.float32):
+        if kind not in ("chol", "ldl", "lu"):
+            raise ValueError(f"unknown kind {kind!r}")
+        self.kind = kind
+        self.dtype = np.dtype(dtype)
+        self.backend = backend
+        S = backend.nshards
+        self.S = S
+        n = A_csr.shape[0]
+        self.n = n
+
+        perm = amd_order(A_csr.indptr.astype(np.int64),
+                         A_csr.indices.astype(np.int64), n)
+        sym = symbolic.analyze(A_csr, perm)
+        self.sym = sym
+        ns = sym.nsuper
+        ptr, rows_of = sym.snode_ptr, sym.snode_rows
+        parent = sym.snode_parent
+
+        owner = proportional_map(sym, S)
+        self.owner = owner
+
+        # -- wave levels ----------------------------------------------------
+        lvl = np.zeros(ns, dtype=np.int64)     # local levels (per shard tree)
+        tlvl = np.zeros(ns, dtype=np.int64)    # top levels
+        for k in range(ns):
+            p = int(parent[k])
+            if p < 0:
+                continue
+            if owner[k] >= 0 and owner[p] == owner[k]:
+                lvl[p] = max(lvl[p], lvl[k] + 1)
+            elif owner[k] < 0 and owner[p] < 0:
+                tlvl[p] = max(tlvl[p], tlvl[k] + 1)
+        nloc_lvl = int(lvl[owner >= 0].max()) + 1 if (owner >= 0).any() else 0
+        ntop_lvl = int(tlvl[owner < 0].max()) + 1 if (owner < 0).any() else 0
+
+        # per (level): fronts per shard (local) / flat list (top)
+        loc_fronts = [[[] for _ in range(S)] for _ in range(nloc_lvl)]
+        top_fronts = [[] for _ in range(ntop_lvl)]
+        slot = {}  # supernode -> ("loc", l, s, b) | ("top", l, b)
+        for k in range(ns):
+            if owner[k] >= 0:
+                l, s = int(lvl[k]), int(owner[k])
+                slot[k] = ("loc", l, s, len(loc_fronts[l][s]))
+                loc_fronts[l][s].append(k)
+            else:
+                l = int(tlvl[k])
+                slot[k] = ("top", l, len(top_fronts[l]))
+                top_fronts[l].append(k)
+
+        nc_of = np.diff(ptr).astype(np.int64)
+        nr_of = np.array([len(r) for r in rows_of], dtype=np.int64)
+
+        def front_slot(k, ids):
+            """Front-local slot of each global permuted id for supernode k."""
+            j0, j1 = int(ptr[k]), int(ptr[k + 1])
+            NCl = self._NC_of(k)
+            within = (ids >= j0) & (ids < j1)
+            ri = np.searchsorted(rows_of[k], ids)
+            return np.where(within, ids - j0, NCl + ri)
+
+        # level geometry (shared NC/NF per level; identity padding)
+        self.local_levels: list[_Level] = []
+        self.top_levels: list[_Level] = []
+        self._lvl_geom = {}
+        for l in range(nloc_lvl):
+            ks_all = [k for s in range(S) for k in loc_fronts[l][s]]
+            NC = int(nc_of[ks_all].max())
+            NF = NC + int(nr_of[ks_all].max())
+            B = max(max(len(loc_fronts[l][s]) for s in range(S)), 1)
+            m = _Level()
+            m.B, m.NC, m.NF = B, NC, NF
+            self.local_levels.append(m)
+            for k in ks_all:
+                self._lvl_geom[k] = (NC, NF)
+        for l in range(ntop_lvl):
+            ks_all = top_fronts[l]
+            NC = int(nc_of[ks_all].max())
+            NF = NC + int(nr_of[ks_all].max())
+            m = _Level()
+            m.B, m.NC, m.NF = max(len(ks_all), 1), NC, NF
+            self.top_levels.append(m)
+            for k in ks_all:
+                self._lvl_geom[k] = (NC, NF)
+
+        self._NC_of = lambda k: self._lvl_geom[k][0]
+
+        # -- assembly maps: A entries (global CSR order) -> front slots ------
+        # value t of the gathered nzval corresponds to permuted (r2, c2)
+        rows_g, cols_g = [], []
+        for s in range(S):
+            r, c = self._structure_coo(A_csr, backend, s)
+            rows_g.append(r)
+            cols_g.append(c)
+        rg = np.concatenate(rows_g) if rows_g else np.zeros(0, np.int64)
+        cg = np.concatenate(cols_g) if cols_g else np.zeros(0, np.int64)
+        r2 = sym.iperm[rg]
+        c2 = sym.iperm[cg]
+        tpos = np.arange(len(r2), dtype=np.int64)
+        if kind != "lu":
+            keep = r2 >= c2  # lower triangle only (symmetric kinds)
+            r2, c2, tpos = r2[keep], c2[keep], tpos[keep]
+        dest = sym.snode_of[np.minimum(r2, c2)]
+
+        asm = {}  # (kind of level, l, s|None) -> ([srcs], [dsts])
+        order = np.argsort(dest, kind="stable")
+        r2o, c2o, tpo, do = r2[order], c2[order], tpos[order], dest[order]
+        bounds = np.flatnonzero(np.diff(do)) + 1
+        groups = np.split(np.arange(len(do)), bounds)
+        for g in groups:
+            if not len(g):
+                continue
+            k = int(do[g[0]])
+            kindL, *loc = slot[k]
+            NC, NF = self._lvl_geom[k]
+            I = front_slot(k, r2o[g])
+            J = front_slot(k, c2o[g])
+            if kindL == "loc":
+                l, s, b = loc
+                key = ("loc", l, s)
+            else:
+                l, b = loc
+                key = ("top", l, None)
+            flat = (b * NF + I) * NF + J
+            sr, ds = asm.setdefault(key, ([], []))
+            sr.append(tpo[g])
+            ds.append(flat)
+
+        nnzA = len(rg)
+        self.nnzA = nnzA
+
+        def pack_asm(m, l, is_top):
+            if is_top:
+                sr, ds = asm.get(("top", l, None), ([], []))
+                m.a_src = jnp.asarray(_pad2(
+                    [np.concatenate(sr) if sr else np.zeros(0, np.int64)],
+                    nnzA)[0])
+                m.a_dst = jnp.asarray(_pad2(
+                    [np.concatenate(ds) if ds else np.zeros(0, np.int64)],
+                    m.B * m.NF * m.NF)[0])
+            else:
+                srcs, dsts = [], []
+                for s in range(S):
+                    sr, ds = asm.get(("loc", l, s), ([], []))
+                    srcs.append(np.concatenate(sr) if sr
+                                else np.zeros(0, np.int64))
+                    dsts.append(np.concatenate(ds) if ds
+                                else np.zeros(0, np.int64))
+                m.a_src = self._dev(_pad2(srcs, nnzA))
+                m.a_dst = self._dev(_pad2(dsts, m.B * m.NF * m.NF))
+
+        # -- identity padding (diag slots not covered by a real front) -------
+        def pack_diag(m, fronts_by_slot, is_top):
+            def one(frs):
+                d = []
+                for b in range(m.B):
+                    if b < len(frs):
+                        k = frs[b]
+                        j0, j1 = int(ptr[k]), int(ptr[k + 1])
+                        for i in range(j1 - j0, m.NC):
+                            d.append((b * m.NF + i) * m.NF + i)
+                        for i in range(m.NC + len(rows_of[k]), m.NF):
+                            d.append((b * m.NF + i) * m.NF + i)
+                    else:
+                        for i in range(m.NF):
+                            d.append((b * m.NF + i) * m.NF + i)
+                return np.asarray(d, dtype=np.int64)
+            if is_top:
+                m.diag = jnp.asarray(_pad2([one(fronts_by_slot)],
+                                           m.B * m.NF * m.NF)[0])
+            else:
+                m.diag = self._dev(_pad2([one(fronts_by_slot[s])
+                                          for s in range(S)],
+                                         m.B * m.NF * m.NF))
+
+        # -- extend-add maps --------------------------------------------------
+        # cross buffer: local subtree roots with a top parent
+        croff = {}
+        off = 0
+        for k in range(ns):
+            if owner[k] >= 0 and int(parent[k]) >= 0 \
+                    and owner[int(parent[k])] < 0:
+                croff[k] = off
+                off += int(nr_of[k]) ** 2
+        self.CROSS = max(off, 1)
+
+        def child_update_src(k):
+            """Flat slots of child k's ACTUAL update inside its padded
+            per-level update buffer (B, NR, NR)."""
+            kindL, *loc = slot[k]
+            NCc, NFc = self._lvl_geom[k]
+            NRc = NFc - NCc
+            bc = loc[2] if kindL == "loc" else loc[1]
+            nr = int(nr_of[k])
+            ci = np.repeat(np.arange(nr), nr)
+            cj = np.tile(np.arange(nr), nr)
+            return (bc * NRc + ci) * NRc + cj, ci, cj
+
+        ea_loc = {}    # (l, s) -> {child_level: ([srcs],[dsts])}
+        ea_top = {}    # l -> {child_top_level: ([srcs],[dsts])}
+        ea_cross = {}  # l -> ([srcs into cross], [dsts])
+        cross_scatter = {}  # child_level -> per-shard ([srcs],[dsts])
+        for k in range(ns):
+            p = int(parent[k])
+            if p < 0 or int(nr_of[k]) == 0:
+                continue
+            src, ci, cj = child_update_src(k)
+            pk, *ploc = slot[p]
+            NCp, NFp = self._lvl_geom[p]
+            pslot = front_slot(p, rows_of[k])
+            kk, *kloc = slot[k]
+            if kk == "loc" and pk == "loc":
+                lp, sp_, bp = ploc
+                dst = (bp * NFp + pslot[ci]) * NFp + pslot[cj]
+                d = ea_loc.setdefault((lp, sp_), {})
+                sr, ds = d.setdefault(kloc[0], ([], []))
+                sr.append(src)
+                ds.append(dst)
+            elif kk == "loc" and pk == "top":
+                # child root -> cross buffer (on its own shard)
+                lc, sc, _ = kloc
+                nr = int(nr_of[k])
+                cdst = croff[k] + ci * nr + cj
+                per = cross_scatter.setdefault(lc, ([[] for _ in range(S)],
+                                                    [[] for _ in range(S)]))
+                per[0][sc].append(src)
+                per[1][sc].append(cdst)
+                # parent assembles from the replicated cross buffer
+                lp, bp = ploc
+                dst = (bp * NFp + pslot[ci]) * NFp + pslot[cj]
+                sr, ds = ea_cross.setdefault(lp, ([], []))
+                sr.append(croff[k] + ci * nr + cj)
+                ds.append(dst)
+            else:  # top -> top
+                lp, bp = ploc
+                dst = (bp * NFp + pslot[ci]) * NFp + pslot[cj]
+                d = ea_top.setdefault(lp, {})
+                sr, ds = d.setdefault(kloc[0], ([], []))
+                sr.append(src)
+                ds.append(dst)
+
+        # -- solve gather maps -------------------------------------------------
+        def pack_cols(m, fronts_by_slot, is_top):
+            def one(frs):
+                cc = np.full((m.B, m.NC), n, dtype=np.int32)
+                cr = np.full((m.B, m.NF - m.NC), n, dtype=np.int32)
+                for b, k in enumerate(frs):
+                    j0, j1 = int(ptr[k]), int(ptr[k + 1])
+                    cc[b, : j1 - j0] = np.arange(j0, j1)
+                    cr[b, : len(rows_of[k])] = rows_of[k]
+                return cc, cr
+            if is_top:
+                cc, cr = one(fronts_by_slot)
+                m.ccol, m.crow = jnp.asarray(cc), jnp.asarray(cr)
+            else:
+                ccs, crs = zip(*[one(fronts_by_slot[s]) for s in range(S)])
+                m.ccol = self._dev(np.stack(ccs))
+                m.crow = self._dev(np.stack(crs))
+
+        # -- finalize static arrays -------------------------------------------
+        for l, m in enumerate(self.local_levels):
+            pack_asm(m, l, False)
+            pack_diag(m, loc_fronts[l], False)
+            pack_cols(m, loc_fronts[l], False)
+            d = ea_loc.get((l, None), None)
+            # regroup per (shard): build (S, K) arrays per child level
+            per_child = {}
+            for (ll, s), dd in [x for x in ea_loc.items() if x[0][0] == l]:
+                for lc, (sr, ds) in dd.items():
+                    e = per_child.setdefault(lc, ([[] for _ in range(S)],
+                                                  [[] for _ in range(S)]))
+                    e[0][s].extend(sr)
+                    e[1][s].extend(ds)
+            for lc, (srs, dss) in sorted(per_child.items()):
+                mc = self.local_levels[lc]
+                upd_len = mc.B * (mc.NF - mc.NC) * (mc.NF - mc.NC)
+                src = _pad2([np.concatenate(x) if x else np.zeros(0, np.int64)
+                             for x in srs], upd_len)
+                dst = _pad2([np.concatenate(x) if x else np.zeros(0, np.int64)
+                             for x in dss], m.B * m.NF * m.NF,
+                            width=src.shape[1])
+                m.ea.append((lc, self._dev(src), self._dev(dst)))
+        for l, m in enumerate(self.top_levels):
+            pack_asm(m, l, True)
+            pack_diag(m, top_fronts[l], True)
+            pack_cols(m, top_fronts[l], True)
+            for lc, (sr, ds) in sorted(ea_top.get(l, {}).items()):
+                mc = self.top_levels[lc]
+                upd_len = mc.B * (mc.NF - mc.NC) * (mc.NF - mc.NC)
+                src = _pad2([np.concatenate(sr)], upd_len)[0]
+                dst = _pad2([np.concatenate(ds)], m.B * m.NF * m.NF,
+                            width=len(src))[0]
+                m.ea.append((lc, jnp.asarray(src), jnp.asarray(dst)))
+            if l in ea_cross:
+                sr, ds = ea_cross[l]
+                src = _pad2([np.concatenate(sr)], self.CROSS)[0]
+                dst = _pad2([np.concatenate(ds)], m.B * m.NF * m.NF,
+                            width=len(src))[0]
+                m.ea_cross.append((jnp.asarray(src), jnp.asarray(dst)))
+
+        # cross scatter (per child level): update buffer -> (S, CROSS)
+        self.cross_maps = []
+        for lc, (srs, dss) in sorted(cross_scatter.items()):
+            mc = self.local_levels[lc]
+            upd_len = mc.B * (mc.NF - mc.NC) * (mc.NF - mc.NC)
+            src = _pad2([np.concatenate(x) if x else np.zeros(0, np.int64)
+                         for x in srs], upd_len)
+            dst = _pad2([np.concatenate(x) if x else np.zeros(0, np.int64)
+                         for x in dss], self.CROSS, width=src.shape[1])
+            self.cross_maps.append((lc, self._dev(src), self._dev(dst)))
+
+        # permutation + top column ids (device)
+        self.perm_dev = jnp.asarray(sym.perm.astype(np.int32))
+        topcols = np.concatenate(
+            [np.arange(int(ptr[k]), int(ptr[k + 1])) for k in range(ns)
+             if owner[k] < 0]) if (owner < 0).any() else np.zeros(0, np.int64)
+        self.topcols = jnp.asarray(topcols.astype(np.int32))
+
+        self._factor = jax.jit(self._factor_impl)
+        self._solve = jax.jit(self._solve_impl)
+
+    # ------------------------------------------------------------------
+    def _dev(self, arr):
+        return jax.device_put(arr, self.backend.row_sharding(arr.ndim - 1))
+
+    @staticmethod
+    def _structure_coo(A_csr, backend, s):
+        """Global (rows, cols) of shard s's entries in storage order — the
+        order of the gathered distributed nzval."""
+        from ..partition import uniform_partition
+
+        # built lazily against the library's row partition by the wrapper;
+        # standalone use (tests) slices uniformly
+        rp = uniform_partition(A_csr.shape[0], backend.nshards)
+        lo, hi = int(rp[s]), int(rp[s + 1])
+        loc = A_csr[lo:hi].tocsr()
+        loc.sort_indices()
+        rows = np.repeat(np.arange(lo, hi, dtype=np.int64),
+                         np.diff(loc.indptr))
+        return rows, loc.indices.astype(np.int64)
+
+    # ------------------------------------------------------------------
+    # numeric factorization (one jit)
+    # ------------------------------------------------------------------
+    def _take(self, x, idx):
+        """vmapped per-shard take: x (S, L), idx (S, K) -> (S, K)."""
+        return jax.vmap(lambda xs, ix: jnp.take(xs, ix, axis=0,
+                                                mode="fill", fill_value=0))(x, idx)
+
+    def _front_kernel(self, F, NC, eps):
+        """Factor one padded batch (B', NF, NF); returns per-kind factor
+        tuple + update (B', NR, NR) + n_perturbed."""
+        NF = F.shape[-1]
+        F11 = F[:, :NC, :NC]
+        F21 = F[:, NC:, :NC]
+        F22 = F[:, NC:, NC:]
+        if self.kind == "chol":
+            L11 = jnp.linalg.cholesky(F11)
+            L21 = _tri(L11, F21, left_side=False, lower=True, transpose_a=True)
+            U = F22 - jnp.matmul(L21, jnp.swapaxes(L21, 1, 2),
+                                 precision=jax.lax.Precision.HIGHEST)
+            return (L11, L21), U, jnp.zeros((), jnp.int32)
+        if self.kind == "ldl":
+            L11, d, npert = batched_ldl(F11, eps)
+            W = _tri(L11, F21, left_side=False, lower=True, transpose_a=True,
+                     unit_diagonal=True)
+            L21 = W / d[:, None, :]
+            U = F22 - jnp.matmul(L21, jnp.swapaxes(W, 1, 2),
+                                 precision=jax.lax.Precision.HIGHEST)
+            return (L11, d, L21), U, npert
+        # lu
+        F12 = F[:, :NC, NC:]
+        L11, U11, npert = batched_lu(F11, eps)
+        U12 = _tri(L11, F12, left_side=True, lower=True, unit_diagonal=True)
+        L21 = _tri(U11, F21, left_side=False, lower=False)
+        U = F22 - jnp.matmul(L21, U12, precision=jax.lax.Precision.HIGHEST)
+        return (L11, U11, L21, U12), U, npert
+
+    def _factor_impl(self, Avals, eps):
+        dt = self.dtype
+        S = self.S
+        Av = jnp.concatenate([Avals.astype(dt), jnp.zeros(1, dt)])
+        upds = []
+        loc_factors = []
+        npert = jnp.zeros((), jnp.int32)
+        for m in self.local_levels:
+            B, NC, NF = m.B, m.NC, m.NF
+            vals = jnp.take(Av, m.a_src, axis=0)  # (S, Ka) replicated source
+            F = jnp.zeros((S, B * NF * NF), dt)
+            F = jax.vmap(lambda f, d, v: f.at[d].add(v, mode="drop"))(
+                F, m.a_dst, vals)
+            F = jax.vmap(lambda f, d: f.at[d].set(1.0, mode="drop"))(F, m.diag)
+            for lc, src, dst in m.ea:
+                v = self._take(upds[lc], src)
+                F = jax.vmap(lambda f, d, vv: f.at[d].add(vv, mode="drop"))(
+                    F, dst, v)
+            F = F.reshape(S * B, NF, NF)
+            fac, U, p = self._front_kernel(F, NC, eps)
+            npert = npert + p
+            NR = NF - NC
+            upds.append(U.reshape(S, B * NR * NR))
+            loc_factors.append(tuple(
+                x.reshape((S, B) + x.shape[1:]) for x in fac))
+
+        # cross reduction: local roots' updates -> replicated contributions
+        cross = jnp.zeros((S, self.CROSS), dt)
+        for lc, src, dst in self.cross_maps:
+            v = self._take(upds[lc], src)
+            cross = jax.vmap(lambda c, d, vv: c.at[d].add(vv, mode="drop"))(
+                cross, dst, v)
+        crossr = jnp.sum(cross, axis=0)  # all-reduce over the mesh axis
+
+        tupds = []
+        top_factors = []
+        for m in self.top_levels:
+            B, NC, NF = m.B, m.NC, m.NF
+            F = jnp.zeros((B * NF * NF,), dt)
+            F = F.at[m.a_dst].add(jnp.take(Av, m.a_src, axis=0), mode="drop")
+            F = F.at[m.diag].set(1.0, mode="drop")
+            for lc, src, dst in m.ea:
+                F = F.at[dst].add(
+                    jnp.take(tupds[lc], src, axis=0, mode="fill",
+                             fill_value=0), mode="drop")
+            for src, dst in m.ea_cross:
+                F = F.at[dst].add(
+                    jnp.take(crossr, src, axis=0, mode="fill", fill_value=0),
+                    mode="drop")
+            F = F.reshape(B, NF, NF)
+            fac, U, p = self._front_kernel(F, NC, eps)
+            npert = npert + p
+            NR = NF - NC
+            tupds.append(U.reshape(B * NR * NR))
+            top_factors.append(fac)
+        return loc_factors, top_factors, npert
+
+    # ------------------------------------------------------------------
+    # solve (one jit; RHS (n, k) replicated on device)
+    # ------------------------------------------------------------------
+    def _fwd(self, fac, seg):
+        """seg (B', NC, k) -> (z stored for backward, w for updates)."""
+        if self.kind == "chol":
+            L11 = fac[0]
+            w = _tri(L11, seg, left_side=True, lower=True)
+            return w, w
+        if self.kind == "ldl":
+            L11, d = fac[0], fac[1]
+            w = _tri(L11, seg, left_side=True, lower=True, unit_diagonal=True)
+            return w / d[:, :, None], w
+        L11 = fac[0]
+        w = _tri(L11, seg, left_side=True, lower=True, unit_diagonal=True)
+        return w, w
+
+    def _bwd(self, fac, rhs, xr):
+        """rhs = stored z minus cross terms already applied? No: rhs is the
+        stored z segment; xr (B', NR, k) the ancestor solution rows."""
+        if self.kind == "chol":
+            L11, L21 = fac
+            t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr,
+                                 precision=jax.lax.Precision.HIGHEST)
+            return _tri(L11, t, left_side=True, lower=True, transpose_a=True)
+        if self.kind == "ldl":
+            L11, _d, L21 = fac
+            t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr,
+                                 precision=jax.lax.Precision.HIGHEST)
+            return _tri(L11, t, left_side=True, lower=True, transpose_a=True,
+                        unit_diagonal=True)
+        L11, U11, L21, U12 = fac
+        t = rhs - jnp.matmul(U12, xr, precision=jax.lax.Precision.HIGHEST)
+        return _tri(U11, t, left_side=True, lower=False)
+
+    def _l21(self, fac):
+        return fac[-1] if self.kind != "lu" else fac[2]
+
+    def _solve_impl(self, loc_factors, top_factors, b):
+        # b: (n, k) replicated
+        dt = self.dtype
+        S, n = self.S, self.n
+        k = b.shape[1]
+        y = jnp.concatenate([jnp.take(b, self.perm_dev, axis=0).astype(dt),
+                             jnp.zeros((1, k), dt)])  # (n+1, k)
+        contrib = jnp.zeros((S, n + 1, k), dt)
+        zloc = jnp.zeros((S, n + 1, k), dt)
+
+        def takeS(arr, idx):  # arr (S, n+1, k), idx (S, B, W) -> (S, B, W, k)
+            return jax.vmap(lambda a, i: a[i])(arr, idx)
+
+        def setS(arr, idx, val):
+            return jax.vmap(lambda a, i, v: a.at[i].set(v))(arr, idx, val)
+
+        def addS(arr, idx, val):
+            return jax.vmap(lambda a, i, v: a.at[i].add(v))(arr, idx, val)
+
+        # forward, local phase
+        for m, fac in zip(self.local_levels, loc_factors):
+            B, NC, NF = m.B, m.NC, m.NF
+            NR = NF - NC
+            seg = jnp.take(y, m.ccol, axis=0) + takeS(contrib, m.ccol)
+            seg = seg.reshape(S * B, NC, k)
+            facf = tuple(x.reshape((S * B,) + x.shape[2:]) for x in fac)
+            z, w = self._fwd(facf, seg)
+            zloc = setS(zloc, m.ccol.reshape(S, B * NC),
+                        z.reshape(S, B * NC, k))
+            upd = jnp.matmul(self._l21(facf), w,
+                             precision=jax.lax.Precision.HIGHEST)
+            contrib = addS(contrib, m.crow.reshape(S, B * NR),
+                           -upd.reshape(S, B * NR, k))
+            contrib = contrib.at[:, n].set(0.0)
+            zloc = zloc.at[:, n].set(0.0)
+
+        # forward, top phase (replicated)
+        ytop = y + jnp.sum(contrib, axis=0)
+        for m, fac in zip(self.top_levels, top_factors):
+            B, NC, NF = m.B, m.NC, m.NF
+            NR = NF - NC
+            seg = jnp.take(ytop, m.ccol, axis=0)  # (B, NC, k)
+            z, w = self._fwd(fac, seg)
+            ytop = ytop.at[m.ccol.reshape(-1)].set(z.reshape(B * NC, k))
+            upd = jnp.matmul(self._l21(fac), w,
+                             precision=jax.lax.Precision.HIGHEST)
+            ytop = ytop.at[m.crow.reshape(-1)].add(-upd.reshape(B * NR, k))
+            ytop = ytop.at[n].set(0.0)
+
+        # backward, top phase
+        for m, fac in zip(reversed(self.top_levels), reversed(top_factors)):
+            B, NC, NF = m.B, m.NC, m.NF
+            rhs = jnp.take(ytop, m.ccol, axis=0)
+            xr = jnp.take(ytop, m.crow, axis=0)
+            x = self._bwd(fac, rhs, xr)
+            ytop = ytop.at[m.ccol.reshape(-1)].set(x.reshape(B * NC, k))
+            ytop = ytop.at[n].set(0.0)
+        xtop = jnp.zeros((n + 1, k), dt)
+        if self.topcols.shape[0]:
+            xtop = xtop.at[self.topcols].set(ytop[self.topcols])
+
+        # backward, local phase
+        xloc = jnp.broadcast_to(xtop, (S, n + 1, k)) + jnp.zeros((S, 1, 1), dt)
+        for m, fac in zip(reversed(self.local_levels), reversed(loc_factors)):
+            B, NC, NF = m.B, m.NC, m.NF
+            rhs = takeS(zloc, m.ccol).reshape(S * B, NC, k)
+            xr = takeS(xloc, m.crow).reshape(S * B, NF - NC, k)
+            facf = tuple(x.reshape((S * B,) + x.shape[2:]) for x in fac)
+            x = self._bwd(facf, rhs, xr)
+            xloc = setS(xloc, m.ccol.reshape(S, B * NC),
+                        x.reshape(S, B * NC, k))
+            xloc = xloc.at[:, n].set(0.0)
+
+        xall = jnp.sum(xloc, axis=0) - (S - 1) * xtop  # (n+1, k)
+        out = jnp.zeros((n, k), dt)
+        return out.at[self.perm_dev].set(xall[:n])
+
+    # ------------------------------------------------------------------
+    def factor(self, Avals, eps):
+        return self._factor(jnp.asarray(Avals), jnp.asarray(eps, self.dtype))
+
+    def solve(self, factors, b):
+        loc, top, _ = factors
+        b = jnp.asarray(b)
+        squeeze = b.ndim == 1
+        if squeeze:
+            b = b[:, None]
+        x = self._solve(loc, top, b)
+        return x[:, 0] if squeeze else x
