@@ -41,7 +41,7 @@ from .ops.blocks import (
 )
 from .ops.map_rows import map_rows, vertex_indices
 from .solver.api import BackslashCache, Factorization, ldlt, lu, solve
-from .utils.io import io0
+from .utils.io import io0, show
 from .utils.warmup import Symmetric, warmup
 from .utils.profiling import annotate, profile_trace
 from .utils.convert import clear_solver_caches, comm_rank, comm_size, to_backend
@@ -56,7 +56,7 @@ __all__ = [
     "cat_sparse", "hcat_sparse", "vcat_sparse", "cat_dense", "hcat_dense",
     "vcat_dense", "vcat_vectors", "map_rows", "vertex_indices",
     "Factorization", "BackslashCache", "lu", "ldlt", "solve", "io0",
-    "Symmetric", "warmup", "profile_trace", "annotate",
+    "Symmetric", "warmup", "profile_trace", "annotate", "show",
     "to_backend", "comm_rank", "comm_size", "clear_solver_caches",
 ]
 

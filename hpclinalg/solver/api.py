@@ -183,21 +183,51 @@ class Factorization:
     def solve_transpose(self, b, refine: int | None = None):
         return self.solve(b, transpose=True, refine=refine)
 
+    def _solve_multi_host(self, Bh: np.ndarray, transpose: bool) -> np.ndarray:
+        if self.native is not None:
+            return self.native.solve_multi(self._lib, Bh, transpose=transpose)
+        return np.stack([solve_factored(self.num, Bh[:, j], transpose=transpose)
+                         for j in range(Bh.shape[1])], axis=1)
+
     def solve_matrix(self, B, transpose: bool = False, refine: int | None = None):
-        """Multi-RHS solve: B is a DistDenseMatrix (or host (n, k) array)
-        whose columns are right-hand sides (ref: MUMPS multi-RHS solve path,
-        mumps_factorization.jl:291-353)."""
+        """Blocked multi-RHS solve: B is a DistDenseMatrix (or host (n, k)
+        array) whose columns are right-hand sides. The RHS block is gathered
+        ONCE and all columns go through a single gemm-based sweep, with
+        matrix-level refinement (ref: MUMPS multi-RHS solve path,
+        mumps_factorization.jl:291-353 — the reference likewise gathers the
+        whole RHS rather than looping columns)."""
         from ..dense import DistDenseMatrix
 
+        if refine is None:
+            refine = 1 if self.n_perturbed == 0 else 3
         is_dist = isinstance(B, DistDenseMatrix)
         Bh = B.to_numpy() if is_dist else np.asarray(B)
-        cols = [self.solve(Bh[:, k], transpose=transpose, refine=refine)
-                for k in range(Bh.shape[1])]
-        X = np.stack(cols, axis=1)
+        dtype = np.result_type(Bh.dtype, self.dtype)
+        if (np.issubdtype(Bh.dtype, np.complexfloating)
+                and not np.issubdtype(self.dtype, np.complexfloating)):
+            Xr = self._refined_multi(np.ascontiguousarray(Bh.real), transpose,
+                                     refine)
+            Xi = self._refined_multi(np.ascontiguousarray(Bh.imag), transpose,
+                                     refine)
+            X = (Xr + 1j * Xi).astype(dtype)
+        else:
+            X = self._refined_multi(Bh.astype(self.dtype), transpose,
+                                    refine).astype(dtype)
         if is_dist:
             return DistDenseMatrix.from_global(X, self.backend,
                                                row_partition=self.A.row_partition,
                                                dtype=X.dtype)
+        return X
+
+    def _refined_multi(self, Bh: np.ndarray, transpose: bool,
+                       refine: int) -> np.ndarray:
+        X = self._solve_multi_host(Bh, transpose)
+        Ah = self._A_host.T if transpose else self._A_host
+        for _ in range(refine):
+            R = Bh - Ah @ X
+            if not np.isfinite(R).all():
+                break
+            X = X + self._solve_multi_host(R, transpose)
         return X
 
     def finalize(self):
@@ -238,25 +268,32 @@ def _csr_values(A) -> np.ndarray:
     return vals
 
 
-def ldlt(A, method: str = "host"):
+def ldlt(A, method: str = "host", spd: bool = False):
     """Ref: ldlt (mumps_factorization.jl:259). Symmetric (possibly complex-
     symmetric) LDLᵀ with static pivoting. ``method="device"`` selects the
-    accelerator-resident batched Cholesky (SPD only; see
-    docs/device_solver_design.md)."""
+    mesh-distributed device-resident multifrontal engine
+    (solver/device_mf.py; the cuDSS-MGMN analogue, CUDAExt:602-710) —
+    indefinite systems use the blocked unpivoted LDL kernel; ``spd=True``
+    opts into the faster Cholesky kernel."""
     if A.m != A.ncols:
         raise ValueError("ldlt requires a square matrix")
     if method == "device":
-        from .device_chol import DeviceFactorization
+        from .device_mf import DeviceFactorization
 
-        return DeviceFactorization(A)
+        return DeviceFactorization(A, kind="chol" if spd else "ldl")
     return Factorization(A, "ldlt")
 
 
-def lu(A) -> Factorization:
+def lu(A, method: str = "host"):
     """Ref: lu (mumps_factorization.jl:242). Unsymmetric LU on the
-    symmetrized pattern with static pivoting + refinement."""
+    symmetrized pattern with static pivoting + refinement. ``method=
+    "device"`` runs the distributed device multifrontal LU."""
     if A.m != A.ncols:
         raise ValueError("lu requires a square matrix")
+    if method == "device":
+        from .device_mf import DeviceFactorization
+
+        return DeviceFactorization(A, kind="lu")
     return Factorization(A, "lu")
 
 

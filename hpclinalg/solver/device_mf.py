@@ -257,7 +257,7 @@ class DeviceMF:
         def front_slot(k, ids):
             """Front-local slot of each global permuted id for supernode k."""
             j0, j1 = int(ptr[k]), int(ptr[k + 1])
-            NCl = self._NC_of(k)
+            NCl = self._lvl_geom[k][0]
             within = (ids >= j0) & (ids < j1)
             ri = np.searchsorted(rows_of[k], ids)
             return np.where(within, ids - j0, NCl + ri)
@@ -286,17 +286,14 @@ class DeviceMF:
             for k in ks_all:
                 self._lvl_geom[k] = (NC, NF)
 
-        self._NC_of = lambda k: self._lvl_geom[k][0]
-
         # -- assembly maps: A entries (global CSR order) -> front slots ------
-        # value t of the gathered nzval corresponds to permuted (r2, c2)
-        rows_g, cols_g = [], []
-        for s in range(S):
-            r, c = self._structure_coo(A_csr, backend, s)
-            rows_g.append(r)
-            cols_g.append(c)
-        rg = np.concatenate(rows_g) if rows_g else np.zeros(0, np.int64)
-        cg = np.concatenate(cols_g) if cols_g else np.zeros(0, np.int64)
+        # the gathered distributed nzval (concat of contiguous row shards,
+        # indices sorted) IS the global CSR data order, so entry t maps to
+        # permuted (r2, c2) straight from the replicated pattern
+        A_csr = sp.csr_matrix(A_csr)
+        A_csr.sort_indices()
+        rg = np.repeat(np.arange(n, dtype=np.int64), np.diff(A_csr.indptr))
+        cg = A_csr.indices.astype(np.int64)
         r2 = sym.iperm[rg]
         c2 = sym.iperm[cg]
         tpos = np.arange(len(r2), dtype=np.int64)
@@ -355,19 +352,20 @@ class DeviceMF:
         # -- identity padding (diag slots not covered by a real front) -------
         def pack_diag(m, fronts_by_slot, is_top):
             def one(frs):
-                d = []
+                ds = []
                 for b in range(m.B):
                     if b < len(frs):
                         k = frs[b]
-                        j0, j1 = int(ptr[k]), int(ptr[k + 1])
-                        for i in range(j1 - j0, m.NC):
-                            d.append((b * m.NF + i) * m.NF + i)
-                        for i in range(m.NC + len(rows_of[k]), m.NF):
-                            d.append((b * m.NF + i) * m.NF + i)
+                        nc_k = int(ptr[k + 1] - ptr[k])
+                        i = np.concatenate([
+                            np.arange(nc_k, m.NC, dtype=np.int64),
+                            np.arange(m.NC + len(rows_of[k]), m.NF,
+                                      dtype=np.int64)])
                     else:
-                        for i in range(m.NF):
-                            d.append((b * m.NF + i) * m.NF + i)
-                return np.asarray(d, dtype=np.int64)
+                        i = np.arange(m.NF, dtype=np.int64)
+                    ds.append(b * m.NF * m.NF + i * (m.NF + 1))
+                return (np.concatenate(ds) if ds
+                        else np.zeros(0, dtype=np.int64))
             if is_top:
                 m.diag = jnp.asarray(_pad2([one(fronts_by_slot)],
                                            m.B * m.NF * m.NF)[0])
@@ -465,7 +463,6 @@ class DeviceMF:
             pack_asm(m, l, False)
             pack_diag(m, loc_fronts[l], False)
             pack_cols(m, loc_fronts[l], False)
-            d = ea_loc.get((l, None), None)
             # regroup per (shard): build (S, K) arrays per child level
             per_child = {}
             for (ll, s), dd in [x for x in ea_loc.items() if x[0][0] == l]:
@@ -524,23 +521,7 @@ class DeviceMF:
 
     # ------------------------------------------------------------------
     def _dev(self, arr):
-        return jax.device_put(arr, self.backend.row_sharding(arr.ndim - 1))
-
-    @staticmethod
-    def _structure_coo(A_csr, backend, s):
-        """Global (rows, cols) of shard s's entries in storage order — the
-        order of the gathered distributed nzval."""
-        from ..partition import uniform_partition
-
-        # built lazily against the library's row partition by the wrapper;
-        # standalone use (tests) slices uniformly
-        rp = uniform_partition(A_csr.shape[0], backend.nshards)
-        lo, hi = int(rp[s]), int(rp[s + 1])
-        loc = A_csr[lo:hi].tocsr()
-        loc.sort_indices()
-        rows = np.repeat(np.arange(lo, hi, dtype=np.int64),
-                         np.diff(loc.indptr))
-        return rows, loc.indices.astype(np.int64)
+        return jax.device_put(arr, self.backend.row_sharding(arr.ndim - 2))
 
     # ------------------------------------------------------------------
     # numeric factorization (one jit)
@@ -558,7 +539,9 @@ class DeviceMF:
         F21 = F[:, NC:, :NC]
         F22 = F[:, NC:, NC:]
         if self.kind == "chol":
-            L11 = jnp.linalg.cholesky(F11)
+            # fronts are assembled lower-triangle-only for symmetric kinds;
+            # the default symmetrize_input would halve the off-diagonals
+            L11 = jax.lax.linalg.cholesky(F11, symmetrize_input=False)
             L21 = _tri(L11, F21, left_side=False, lower=True, transpose_a=True)
             U = F22 - jnp.matmul(L21, jnp.swapaxes(L21, 1, 2),
                                  precision=jax.lax.Precision.HIGHEST)
@@ -763,3 +746,119 @@ class DeviceMF:
             b = b[:, None]
         x = self._solve(loc, top, b)
         return x[:, 0] if squeeze else x
+
+
+class DeviceFactorization:
+    """Factorization-interface adapter over the distributed DeviceMF engine
+    (ref: MUMPSFactorization / CuDSSFactorizationMPI). The RHS and solution
+    stay on device end-to-end: all_gather in, wave solves, scatter out —
+    the cuDSS MGMN contract (CUDAExt:835-885)."""
+
+    def __init__(self, A, kind: str = "ldl", dtype=None):
+        from ..cache import cached_plan
+
+        self.A = A
+        self.backend = A.backend
+        self.structural_hash = A.hash
+        if dtype is None:
+            platform = A.backend.mesh.devices.flat[0].platform
+            dtype = np.float64 if (platform == "cpu" and
+                                   jax.config.jax_enable_x64) else np.float32
+        self.dtype = np.dtype(dtype)
+        self.kind = kind
+
+        def build():
+            return DeviceMF(A.to_scipy(), A.backend, kind=kind,
+                            dtype=self.dtype)
+
+        self.engine = cached_plan(
+            "device_mf", (A.hash, kind, str(self.dtype), A.backend.key), build)
+        self._numeric(A)
+
+    def _numeric(self, A):
+        from ..parallel.mesh import allgather_full
+
+        st = A.structure
+        nnzb = np.concatenate([[0], np.cumsum(st.nnz_local)]).astype(np.int64)
+        Avals = allgather_full(A.nzval, nnzb, self.backend)  # (nnzA,) device
+        eps = _PERT_REL * max(float(jnp.max(jnp.abs(A.nzval))), 1.0)
+        self.factors = self.engine.factor(Avals, eps)
+        self.n_perturbed = int(self.factors[2])
+        if self.kind == "chol":
+            loc, top, _ = self.factors
+            probes = [jnp.isfinite(x).all() for fac in (*loc, *top)
+                      for x in fac]
+            if probes and not bool(jnp.stack(probes).all()):
+                raise ValueError("device Cholesky requires an SPD matrix "
+                                 "(use kind='ldl' for indefinite systems)")
+
+    def refactorize(self, A) -> "DeviceFactorization":
+        if A.hash != self.structural_hash:
+            raise ValueError("refactorize requires the same sparsity pattern")
+        self.A = A
+        self._numeric(A)
+        return self
+
+    def solve(self, b, transpose: bool = False, refine: int | None = None):
+        from ..parallel.mesh import allgather_full, scatter_from_full
+        from ..vector import DistVector
+
+        if self.factors is None:
+            raise RuntimeError("factorization was finalized")
+        if transpose and self.kind == "lu":
+            raise NotImplementedError(
+                "transpose solve on the device LU path is not implemented; "
+                "use the host factorization (hl.lu(A).solve(b, transpose=True))")
+        if refine is None:
+            refine = 1 if self.n_perturbed == 0 else 2
+        is_dist = isinstance(b, DistVector)
+        if is_dist:
+            bg = allgather_full(b.data, b.partition, self.backend)
+        else:
+            bg = jnp.asarray(np.asarray(b))
+        x = self.engine.solve(self.factors, bg)
+        if refine and is_dist:
+            # iterative refinement with DEVICE residuals through the
+            # distributed SpMV — compensates static-pivot perturbations
+            xd = DistVector(
+                scatter_from_full(x.astype(b.dtype), self.A.row_partition,
+                                  self.backend),
+                self.A.row_partition, self.backend)
+            for _ in range(refine):
+                r = b - self.A @ xd
+                rg = allgather_full(r.data, r.partition, self.backend)
+                dx = self.engine.solve(self.factors, rg)
+                x = x + dx
+                xd = DistVector(
+                    scatter_from_full(x.astype(b.dtype),
+                                      self.A.row_partition, self.backend),
+                    self.A.row_partition, self.backend)
+            return xd
+        if is_dist:
+            return DistVector(
+                scatter_from_full(x, self.A.row_partition, self.backend),
+                self.A.row_partition, self.backend)
+        return np.asarray(x)
+
+    def solve_matrix(self, B, transpose: bool = False):
+        """Multi-RHS device solve — one batched wave sweep for all columns
+        (ref: MUMPS multi-RHS, mumps_factorization.jl:291-353)."""
+        from ..dense import DistDenseMatrix
+        from ..parallel.mesh import allgather_full, scatter_from_full
+
+        if transpose and self.kind == "lu":
+            raise NotImplementedError("transpose solve on device LU")
+        is_dist = isinstance(B, DistDenseMatrix)
+        if is_dist:
+            Bg = allgather_full(B.data, B.row_partition, self.backend)
+        else:
+            Bg = jnp.asarray(np.asarray(B))
+        X = self.engine.solve(self.factors, Bg)
+        if is_dist:
+            return DistDenseMatrix(
+                scatter_from_full(X, self.A.row_partition, self.backend),
+                self.A.row_partition, X.shape[1], self.backend)
+        return np.asarray(X)
+
+    def finalize(self):
+        self.factors = None

@@ -112,6 +112,11 @@ def load_mf():
                       _i64p, _i64p, fp, fp, fp, fp, fp, ctypes.c_int,
                       ctypes.c_int, fp]
         s.restype = None
+        sm = getattr(lib, f"mf_solve_multi_{suffix}")
+        sm.argtypes = [ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
+                       _i64p, _i64p, fp, fp, fp, fp, fp, ctypes.c_int,
+                       ctypes.c_int, ctypes.c_int64, fp]
+        sm.restype = None
     return lib
 
 
@@ -177,3 +182,20 @@ class NativeFactor:
         x = np.empty_like(y)
         x[self.sym.perm] = y
         return x
+
+    def solve_multi(self, lib, B: np.ndarray,
+                    transpose: bool = False) -> np.ndarray:
+        """Blocked multi-RHS solve: B (n, k) -> X (n, k); one gemm-based
+        sweep for all columns (ref gathers the whole RHS once,
+        mumps_factorization.jl:291-353)."""
+        Y = np.ascontiguousarray(B[self.sym.perm], dtype=self.dtype)
+        self._fn(lib, "solve_multi")(
+            self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
+            self.rows, self.l11_off, self.l21_off,
+            self.L11, self.L21, self.D, self.U11, self.U12,
+            0 if self.kind == "ldlt" else 1, 1 if transpose else 0,
+            Y.shape[1], Y,
+        )
+        X = np.empty_like(Y)
+        X[self.sym.perm] = Y
+        return X

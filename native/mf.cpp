@@ -621,6 +621,184 @@ static void solve_impl(
   }
 }
 
+// ---- multi-RHS solve ----------------------------------------------------------
+// Y is (n, k) ROW-major (numpy C order): per global row, k contiguous values.
+// Large blocks go through BLAS level-3 using the row-major == transposed-
+// col-major identity (Y_rm(n,k) == Y^T_cm(k,n)); small blocks use manual
+// kernels whose inner loop runs contiguously over the k RHS columns.
+// This replaces the reference's per-column RHS loop with one gemm-based
+// sweep (MUMPS gathers the whole RHS once, mumps_factorization.jl:291-353).
+
+template <class T>
+static inline void trsm_lnu_rm(i64 n, i64 k, const T *L, T *Y) {
+  for (i64 j = 0; j < n; ++j) {
+    const T *col = &L[(size_t)j * n];
+    const T *yj = &Y[(size_t)j * k];
+    for (i64 i = j + 1; i < n; ++i) {
+      const T lij = col[i];
+      if (lij == T(0)) continue;
+      T *yi = &Y[(size_t)i * k];
+      for (i64 c = 0; c < k; ++c) yi[c] -= lij * yj[c];
+    }
+  }
+}
+template <class T>
+static inline void trsm_ltu_rm(i64 n, i64 k, const T *L, T *Y) {
+  for (i64 j = n - 1; j >= 0; --j) {
+    const T *col = &L[(size_t)j * n];
+    T *yj = &Y[(size_t)j * k];
+    for (i64 i = j + 1; i < n; ++i) {
+      const T lij = col[i];
+      if (lij == T(0)) continue;
+      const T *yi = &Y[(size_t)i * k];
+      for (i64 c = 0; c < k; ++c) yj[c] -= lij * yi[c];
+    }
+  }
+}
+// Tm (m,k) rm += A (m x n, col-major) @ X (n,k) rm
+template <class T>
+static inline void gemm_n_rm(i64 m, i64 n, i64 k, const T *A, const T *X, T *Tm) {
+  for (i64 j = 0; j < n; ++j) {
+    const T *col = &A[(size_t)j * m];
+    const T *xj = &X[(size_t)j * k];
+    for (i64 i = 0; i < m; ++i) {
+      const T a = col[i];
+      if (a == T(0)) continue;
+      T *ti = &Tm[(size_t)i * k];
+      for (i64 c = 0; c < k; ++c) ti[c] += a * xj[c];
+    }
+  }
+}
+// Y (n,k) rm -= A^T (A is m x n col-major) @ Tm (m,k) rm
+template <class T>
+static inline void gemm_t_sub_rm(i64 m, i64 n, i64 k, const T *A, const T *Tm,
+                                 T *Y) {
+  for (i64 j = 0; j < n; ++j) {
+    const T *col = &A[(size_t)j * m];
+    T *yj = &Y[(size_t)j * k];
+    for (i64 i = 0; i < m; ++i) {
+      const T a = col[i];
+      if (a == T(0)) continue;
+      const T *ti = &Tm[(size_t)i * k];
+      for (i64 c = 0; c < k; ++c) yj[c] -= a * ti[c];
+    }
+  }
+}
+
+template <class T>
+static void solve_multi_impl(
+    i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr, const i64 *rows,
+    const i64 *l11_off, const i64 *l21_off,
+    const T *L11, const T *L21, const T *D, const T *U11, const T *U12,
+    int kind, int transpose, i64 k, T *Y /* (n,k) rm, permuted, in-out */) {
+  std::vector<T> tmp;
+  const blasint kb = (blasint)k;
+  if (kind == 0 || !transpose) {
+    // forward with L (unit-lower)
+    for (i64 s = 0; s < ns; ++s) {
+      const i64 j0 = snode_ptr[s], nc = snode_ptr[s + 1] - j0;
+      const i64 r0 = rows_ptr[s], nr = rows_ptr[s + 1] - r0;
+      T *Yb = &Y[(size_t)j0 * k];
+      if (nc * nc * k <= kSmallSolve)
+        trsm_lnu_rm(nc, k, &L11[l11_off[s]], Yb);
+      else  // X^T L^T = Y^T  (col-major view)
+        Blas<T>::trsm('R', 'L', 'T', 'U', kb, (blasint)nc, T(1),
+                      &L11[l11_off[s]], (blasint)nc, Yb, kb);
+      if (nr > 0) {
+        tmp.assign((size_t)nr * k, T(0));
+        if (nr * nc * k <= kSmallSolve)
+          gemm_n_rm(nr, nc, k, &L21[l21_off[s]], Yb, tmp.data());
+        else  // tmp^T = Y^T L21^T
+          Blas<T>::gemm('N', 'T', kb, (blasint)nr, (blasint)nc, T(1), Yb, kb,
+                        &L21[l21_off[s]], (blasint)nr, T(0), tmp.data(), kb);
+        for (i64 t = 0; t < nr; ++t) {
+          T *yr = &Y[(size_t)rows[r0 + t] * k];
+          const T *tt = &tmp[(size_t)t * k];
+          for (i64 c = 0; c < k; ++c) yr[c] -= tt[c];
+        }
+      }
+      if (kind == 0)
+        for (i64 j = 0; j < nc; ++j) {
+          const T d = D[j0 + j];
+          T *yj = &Y[(size_t)(j0 + j) * k];
+          for (i64 c = 0; c < k; ++c) yj[c] /= d;
+        }
+    }
+  } else {
+    // LU transpose forward: U^T (lower, non-unit), off-block U12^T
+    for (i64 s = 0; s < ns; ++s) {
+      const i64 j0 = snode_ptr[s], nc = snode_ptr[s + 1] - j0;
+      const i64 r0 = rows_ptr[s], nr = rows_ptr[s + 1] - r0;
+      T *Yb = &Y[(size_t)j0 * k];
+      // X^T U = Y^T (col-major view of X U^T... = trsm R,U,N? careful):
+      // solve U^T X = Y -> X^T U = Y^T: side=R, uplo=U, trans=N, diag=N
+      Blas<T>::trsm('R', 'U', 'N', 'N', kb, (blasint)nc, T(1),
+                    &U11[l11_off[s]], (blasint)nc, Yb, kb);
+      if (nr > 0) {
+        tmp.assign((size_t)nr * k, T(0));
+        // tmp = U12^T Yb: U12 is (nc x nr) cm -> tmp^T = Y^T U12
+        Blas<T>::gemm('N', 'N', kb, (blasint)nr, (blasint)nc, T(1), Yb, kb,
+                      &U12[l21_off[s]], (blasint)nc, T(0), tmp.data(), kb);
+        for (i64 t = 0; t < nr; ++t) {
+          T *yr = &Y[(size_t)rows[r0 + t] * k];
+          const T *tt = &tmp[(size_t)t * k];
+          for (i64 c = 0; c < k; ++c) yr[c] -= tt[c];
+        }
+      }
+    }
+  }
+
+  if (kind == 0 || transpose) {
+    // backward with L^T (unit)
+    for (i64 s = ns - 1; s >= 0; --s) {
+      const i64 j0 = snode_ptr[s], nc = snode_ptr[s + 1] - j0;
+      const i64 r0 = rows_ptr[s], nr = rows_ptr[s + 1] - r0;
+      T *Yb = &Y[(size_t)j0 * k];
+      if (nr > 0) {
+        tmp.assign((size_t)nr * k, T(0));
+        for (i64 t = 0; t < nr; ++t) {
+          const T *yr = &Y[(size_t)rows[r0 + t] * k];
+          T *tt = &tmp[(size_t)t * k];
+          for (i64 c = 0; c < k; ++c) tt[c] = yr[c];
+        }
+        if (nr * nc * k <= kSmallSolve)
+          gemm_t_sub_rm(nr, nc, k, &L21[l21_off[s]], tmp.data(), Yb);
+        else  // Y^T -= tmp^T L21
+          Blas<T>::gemm('N', 'N', kb, (blasint)nc, (blasint)nr, T(-1),
+                        tmp.data(), kb, &L21[l21_off[s]], (blasint)nr, T(1),
+                        Yb, kb);
+      }
+      if (nc * nc * k <= kSmallSolve)
+        trsm_ltu_rm(nc, k, &L11[l11_off[s]], Yb);
+      else  // X^T L = Y^T
+        Blas<T>::trsm('R', 'L', 'N', 'U', kb, (blasint)nc, T(1),
+                      &L11[l11_off[s]], (blasint)nc, Yb, kb);
+    }
+  } else {
+    // backward with U (non-unit upper); off-block U12
+    for (i64 s = ns - 1; s >= 0; --s) {
+      const i64 j0 = snode_ptr[s], nc = snode_ptr[s + 1] - j0;
+      const i64 r0 = rows_ptr[s], nr = rows_ptr[s + 1] - r0;
+      T *Yb = &Y[(size_t)j0 * k];
+      if (nr > 0) {
+        tmp.assign((size_t)nr * k, T(0));
+        for (i64 t = 0; t < nr; ++t) {
+          const T *yr = &Y[(size_t)rows[r0 + t] * k];
+          T *tt = &tmp[(size_t)t * k];
+          for (i64 c = 0; c < k; ++c) tt[c] = yr[c];
+        }
+        // Y -= U12 tmp (U12 (nc x nr) cm): Y^T -= tmp^T U12^T
+        Blas<T>::gemm('N', 'T', kb, (blasint)nc, (blasint)nr, T(-1),
+                      tmp.data(), kb, &U12[l21_off[s]], (blasint)nc, T(1), Yb,
+                      kb);
+      }
+      // X^T U^T = Y^T: side=R, uplo=U, trans=T, diag=N
+      Blas<T>::trsm('R', 'U', 'T', 'N', kb, (blasint)nc, T(1),
+                    &U11[l11_off[s]], (blasint)nc, Yb, kb);
+    }
+  }
+}
+
 // ---- C ABI -------------------------------------------------------------------
 extern "C" {
 
@@ -659,6 +837,23 @@ void mf_solve_z(i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr,
                 const cd *U12, int kind, int transpose, cd *y) {
   solve_impl<cd>(n, ns, snode_ptr, rows_ptr, rows, l11_off, l21_off, L11, L21,
                  D, U11, U12, kind, transpose, y);
+}
+
+void mf_solve_multi_d(i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr,
+                      const i64 *rows, const i64 *l11_off, const i64 *l21_off,
+                      const double *L11, const double *L21, const double *D,
+                      const double *U11, const double *U12, int kind,
+                      int transpose, i64 k, double *Y) {
+  solve_multi_impl<double>(n, ns, snode_ptr, rows_ptr, rows, l11_off, l21_off,
+                           L11, L21, D, U11, U12, kind, transpose, k, Y);
+}
+
+void mf_solve_multi_z(i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr,
+                      const i64 *rows, const i64 *l11_off, const i64 *l21_off,
+                      const cd *L11, const cd *L21, const cd *D, const cd *U11,
+                      const cd *U12, int kind, int transpose, i64 k, cd *Y) {
+  solve_multi_impl<cd>(n, ns, snode_ptr, rows_ptr, rows, l11_off, l21_off, L11,
+                       L21, D, U11, U12, kind, transpose, k, Y);
 }
 
 }  // extern "C"

@@ -228,20 +228,44 @@ def test_backslash_refactorize_fires_on_value_swap(be4):
     assert np.linalg.norm(32 * (A @ x2.to_numpy()) - b) / np.linalg.norm(b) < 1e-10
 
 
-def test_device_cholesky_blockdiag_non_spd(be4):
-    """Non-SPD component whose root finishes below the last level must still
-    be rejected (ADVICE r1 low finding: multi-root elimination forest)."""
+def test_solve_matrix_host(be4):
+    """Blocked multi-RHS host solve: one gemm sweep for all columns, real,
+    complex-on-real, LU transpose (ref mumps_factorization.jl:291-353)."""
+    rng = np.random.default_rng(107)
+    A = laplace2d(9)
+    n = 81
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    F = hl.ldlt(Ad)
+    B = rng.standard_normal((n, 7))
+    X = F.solve_matrix(B)
+    assert np.linalg.norm(A @ X - B) / np.linalg.norm(B) < 1e-12
+    Bz = B + 1j * rng.standard_normal((n, 7))
+    Xz = F.solve_matrix(Bz)
+    assert np.linalg.norm(A @ Xz - Bz) / np.linalg.norm(Bz) < 1e-12
+    Bd = hl.DistDenseMatrix.from_global(B, be4)
+    Xd = F.solve_matrix(Bd)
+    assert np.linalg.norm(A @ Xd.to_numpy() - B) / np.linalg.norm(B) < 1e-12
+    assert np.array_equal(Xd.row_partition, Ad.row_partition)
+    Au = (A + sp.random(n, n, 0.05, random_state=rng)).tocsr()
+    Fu = hl.lu(hl.DistSparseMatrix.from_scipy(Au, be4))
+    Xt = Fu.solve_matrix(B, transpose=True)
+    assert np.linalg.norm(Au.T @ Xt - B) / np.linalg.norm(B) < 1e-12
+
+
+def test_device_chol_blockdiag_non_spd(be4):
+    """SPD-mode (spd=True) rejects a non-SPD component even when its root
+    finishes below the last level (multi-root elimination forest)."""
     import pytest
 
     N = sp.block_diag([(laplace2d(4) - 5 * sp.eye(16)), laplace2d(7)]).tocsr()
     with pytest.raises(ValueError):
-        hl.ldlt(hl.DistSparseMatrix.from_scipy(N, be4), method="device")
+        hl.ldlt(hl.DistSparseMatrix.from_scipy(N, be4), method="device",
+                spd=True)
 
 
-def test_device_cholesky(be4):
-    """Accelerator-resident batched Cholesky (ldlt method='device')."""
-    import pytest
-
+def test_device_ldlt(be4):
+    """Mesh-distributed device multifrontal (ldlt method='device'):
+    SPD + refactorize + indefinite (blocked unpivoted LDL kernel)."""
     A = laplace2d(8)
     Ad = hl.DistSparseMatrix.from_scipy(A, be4)
     b = rand_vector(64)
@@ -249,10 +273,59 @@ def test_device_cholesky(be4):
     F = hl.ldlt(Ad, method="device")
     x = F.solve(bd)
     assert _resid(A, x.to_numpy(), b) < 1e-10  # f64 on the x64 CPU mesh
+    assert np.array_equal(x.partition, Ad.row_partition)
     F.refactorize(Ad * 3.0)
     x2 = F.solve(bd)
     assert np.linalg.norm(3 * (A @ x2.to_numpy()) - b) / np.linalg.norm(b) < 1e-10
-    # non-SPD rejected with a clear error
-    N = (A - 5 * sp.eye(64)).tocsr()
-    with pytest.raises(ValueError):
-        hl.ldlt(hl.DistSparseMatrix.from_scipy(N, be4), method="device")
+    # indefinite now WORKS on device via the LDL kernel
+    N = (laplace2d(6) - 2.7 * sp.eye(36)).tocsr()
+    bn = rand_vector(36)
+    Nd = hl.DistSparseMatrix.from_scipy(N, be4)
+    xn = hl.ldlt(Nd, method="device").solve(hl.DistVector.from_global(bn, be4))
+    assert _resid(N, xn.to_numpy(), bn) < 1e-8
+    # block-diagonal indefinite (multi-root forest; -4.6 is not an
+    # eigenvalue — laplace2d(4) has one at exactly 5.0)
+    Bd_mat = sp.block_diag([(laplace2d(4) - 4.6 * sp.eye(16)),
+                            laplace2d(7)]).tocsr()
+    bb = rand_vector(Bd_mat.shape[0])
+    xb = hl.ldlt(hl.DistSparseMatrix.from_scipy(Bd_mat, be4),
+                 method="device").solve(hl.DistVector.from_global(bb, be4))
+    assert _resid(Bd_mat, xb.to_numpy(), bb) < 1e-8
+
+
+def test_device_lu(be4):
+    """Distributed device LU on an unsymmetric perturbation."""
+    rng = np.random.default_rng(105)
+    A = (laplace2d(7) + sp.random(49, 49, 0.05, random_state=rng)).tocsr()
+    b = rand_vector(49)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    F = hl.lu(Ad, method="device")
+    x = F.solve(hl.DistVector.from_global(b, be4))
+    assert _resid(A, x.to_numpy(), b) < 1e-8
+
+
+def test_device_multi_rhs(be4):
+    """Batched multi-RHS device solve in one wave sweep."""
+    A = laplace2d(7)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    B = np.random.default_rng(106).standard_normal((49, 6))
+    Bd = hl.DistDenseMatrix.from_global(B, be4)
+    F = hl.ldlt(Ad, method="device")
+    X = F.solve_matrix(Bd)
+    assert np.linalg.norm(A @ X.to_numpy() - B) / np.linalg.norm(B) < 1e-10
+    assert np.array_equal(X.row_partition, Ad.row_partition)
+
+
+def test_device_distributed_top_tree(be4):
+    """A deeper tree so the proportional mapping yields a real top set:
+    exercises the cross-shard reduction path on the 4-shard mesh."""
+    from hpclinalg.solver.device_mf import DeviceMF
+
+    A = laplace2d(16)  # n=256
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    F = hl.ldlt(Ad, method="device")
+    assert (F.engine.owner < 0).sum() > 0, "expected a non-empty top set"
+    assert (F.engine.owner >= 0).sum() > 0
+    b = rand_vector(256)
+    x = F.solve(hl.DistVector.from_global(b, be4))
+    assert _resid(A, x.to_numpy(), b) < 1e-10

@@ -95,6 +95,21 @@ def test_local_constructors(cfg):
     assert_close(A.to_scipy().toarray(), ref, dtype)
 
 
+def test_show_gathers(be4):
+    """Gathering display (ref: Base.show, HPCLinearAlgebra.jl:941-1005)."""
+    import io
+
+    v = hl.DistVector.from_global(np.arange(6.0), be4)
+    s = hl.show(v, stream=io.StringIO())
+    assert "5." in s and "DistVector" in s
+    A = hl.DistSparseMatrix.from_scipy(random_sparse(5, 5, 0.4, seed=9), be4)
+    s = hl.show(A, stream=io.StringIO())
+    assert "DistSparseMatrix" in s and "=" in s
+    M = hl.DistDenseMatrix.from_global(np.eye(3), be4)
+    s = hl.show(M, stream=io.StringIO())
+    assert "1." in s
+
+
 def test_utilities(be4):
     # io0 returns a writable stream
     import sys
