@@ -8,21 +8,26 @@ Measured: 4M-dof Laplacian SpMV 1.54 ms vs 2.34 ms for the XLA path
 (both include the ~1.4 ms relay dispatch floor; the kernel itself is
 ~0.1-0.2 ms).
 
-Used on the TPU platform for single-shard blocks (the per-shard body of a
-future shard_map wrap); the XLA DIA path remains the portable engine.
+Multi-shard meshes wrap the same kernel as the per-shard body inside
+shard_map (the gathered halo buffer is already per-shard); the XLA DIA
+path remains the portable engine. ``interpret=True`` (CPU) backs the
+automated correctness lane in tests.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ..backend import AXIS
 
 TR = 131072  # rows per tile: multiple of 128, sized for ~7 MB of VMEM
-# below this row count the XLA DIA path wins (its dispatch is lighter and
-# everything is dominated by the per-call floor anyway)
+# below this per-shard row count the XLA DIA path wins (its dispatch is
+# lighter and everything is dominated by the per-call floor anyway)
 MIN_ROWS = 1 << 21
 
 
@@ -31,11 +36,11 @@ def pallas_available(backend, Lrow: int = MIN_ROWS) -> bool:
         platform = backend.mesh.devices.flat[0].platform
     except Exception:
         return False
-    return platform not in ("cpu",) and backend.nshards == 1 and Lrow >= MIN_ROWS
+    return platform not in ("cpu",) and Lrow >= MIN_ROWS
 
 
 @lru_cache(maxsize=None)
-def _pallas_dia_fn(offsets: tuple, Lrow: int, Lin: int):
+def _pallas_dia_fn(offsets: tuple, Lrow: int, Lin: int, interpret: bool = False):
     """offsets: static diagonal offsets (gathered-index space); Lrow: output
     rows per shard; Lin: length of the input (x or gathered) buffer."""
     from jax.experimental import pallas as pl
@@ -85,6 +90,7 @@ def _pallas_dia_fn(offsets: tuple, Lrow: int, Lin: int):
             out_specs=pl.BlockSpec((TR,), lambda i: (i,),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((npad,), jnp.float32),
+            interpret=interpret,
         )(dval_pad[0], x)
         return y[:Lrow][None]
 
@@ -92,7 +98,7 @@ def _pallas_dia_fn(offsets: tuple, Lrow: int, Lin: int):
 
 
 def dia_table_padded(A, plan, npad: int) -> jax.Array:
-    """(1, O, npad) f32 table for the Pallas kernel, cached per instance."""
+    """(S, O, npad) f32 table for the Pallas kernel, cached per instance."""
     cache = getattr(A, "_engine_cache", None)
     if cache is None:
         cache = A._engine_cache = {}
@@ -103,23 +109,40 @@ def dia_table_padded(A, plan, npad: int) -> jax.Array:
     from .spmv import _dia_build
 
     st = A.structure
+    S = A.backend.nshards
     O = len(plan.offsets)
-    zeros = jnp.zeros((1, O * npad), jnp.float32)
+    zeros = jax.device_put(jnp.zeros((S, O * npad), jnp.float32),
+                           A.backend.row_sharding())
     # dia_scatter indexes an (O, Lrow) layout; re-map into the padded layout
     scat_host = np.asarray(plan.dia_scatter)
     oi, rl = scat_host // st.Lrow, scat_host % st.Lrow
     pad_scat = np.where(scat_host >= O * st.Lrow, O * npad, oi * npad + rl)
-    tbl = _dia_build(jnp.asarray(pad_scat.astype(np.int32)),
+    tbl = _dia_build(jax.device_put(pad_scat.astype(np.int32),
+                                    A.backend.row_sharding()),
                      A.nzval.astype(jnp.float32), zeros)
-    tbl = tbl.reshape(1, O, npad)
+    tbl = tbl.reshape(S, O, npad)
     cache[key] = tbl
     return tbl
 
 
-def pallas_dia_matvec(A, plan, xb: jax.Array) -> jax.Array:
-    """xb: (1, Lin) input block (x itself when the gather is identity, the
-    gathered buffer otherwise). Returns (1, Lrow) f32."""
+@lru_cache(maxsize=None)
+def _sharded_fn(fn, mesh):
+    """Per-shard kernel body wrapped over the mesh: each device runs the
+    pallas kernel on its own (1, ...) block of the stacked arrays."""
+    body = jax.shard_map(fn, mesh=mesh,
+                         in_specs=(P(AXIS, None, None), P(AXIS, None)),
+                         out_specs=P(AXIS, None), check_vma=False)
+    return jax.jit(body)
+
+
+def pallas_dia_matvec(A, plan, xb: jax.Array, interpret: bool = False) -> jax.Array:
+    """xb: (S, Lin) input block (x itself when the gather is identity, the
+    gathered buffer otherwise). Returns (S, Lrow) f32. On multi-shard
+    meshes the kernel runs as the per-shard body inside shard_map."""
     st = A.structure
-    fn, npad = _pallas_dia_fn(plan.offsets, st.Lrow, int(xb.shape[1]))
+    fn, npad = _pallas_dia_fn(plan.offsets, st.Lrow, int(xb.shape[1]),
+                              interpret)
     tbl = dia_table_padded(A, plan, npad)
-    return fn(tbl, xb)
+    if A.backend.nshards == 1:
+        return fn(tbl, xb)
+    return _sharded_fn(fn, A.backend.mesh)(tbl, xb)

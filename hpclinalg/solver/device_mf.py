@@ -207,6 +207,11 @@ class DeviceMF:
         self.kind = kind
         self.dtype = np.dtype(dtype)
         self.backend = backend
+        # every static index array is registered here and passed to the
+        # jitted executables as an ARGUMENT pytree — closing over them would
+        # embed multi-MB constants in the HLO, which blows up compile time
+        # (measured 333 s vs ~40 s at n=262k through the remote compiler)
+        self._bufs: list = []
         S = backend.nshards
         self.S = S
         n = A_csr.shape[0]
@@ -332,12 +337,12 @@ class DeviceMF:
         def pack_asm(m, l, is_top):
             if is_top:
                 sr, ds = asm.get(("top", l, None), ([], []))
-                m.a_src = jnp.asarray(_pad2(
+                m.a_src = self._reg(jnp.asarray(_pad2(
                     [np.concatenate(sr) if sr else np.zeros(0, np.int64)],
-                    nnzA)[0])
-                m.a_dst = jnp.asarray(_pad2(
+                    nnzA)[0]))
+                m.a_dst = self._reg(jnp.asarray(_pad2(
                     [np.concatenate(ds) if ds else np.zeros(0, np.int64)],
-                    m.B * m.NF * m.NF)[0])
+                    m.B * m.NF * m.NF)[0]))
             else:
                 srcs, dsts = [], []
                 for s in range(S):
@@ -346,8 +351,8 @@ class DeviceMF:
                                 else np.zeros(0, np.int64))
                     dsts.append(np.concatenate(ds) if ds
                                 else np.zeros(0, np.int64))
-                m.a_src = self._dev(_pad2(srcs, nnzA))
-                m.a_dst = self._dev(_pad2(dsts, m.B * m.NF * m.NF))
+                m.a_src = self._reg(self._dev(_pad2(srcs, nnzA)))
+                m.a_dst = self._reg(self._dev(_pad2(dsts, m.B * m.NF * m.NF)))
 
         # -- identity padding (diag slots not covered by a real front) -------
         def pack_diag(m, fronts_by_slot, is_top):
@@ -367,12 +372,12 @@ class DeviceMF:
                 return (np.concatenate(ds) if ds
                         else np.zeros(0, dtype=np.int64))
             if is_top:
-                m.diag = jnp.asarray(_pad2([one(fronts_by_slot)],
-                                           m.B * m.NF * m.NF)[0])
+                m.diag = self._reg(jnp.asarray(
+                    _pad2([one(fronts_by_slot)], m.B * m.NF * m.NF)[0]))
             else:
-                m.diag = self._dev(_pad2([one(fronts_by_slot[s])
-                                          for s in range(S)],
-                                         m.B * m.NF * m.NF))
+                m.diag = self._reg(self._dev(
+                    _pad2([one(fronts_by_slot[s]) for s in range(S)],
+                          m.B * m.NF * m.NF)))
 
         # -- extend-add maps --------------------------------------------------
         # cross buffer: local subtree roots with a top parent
@@ -452,11 +457,12 @@ class DeviceMF:
                 return cc, cr
             if is_top:
                 cc, cr = one(fronts_by_slot)
-                m.ccol, m.crow = jnp.asarray(cc), jnp.asarray(cr)
+                m.ccol = self._reg(jnp.asarray(cc))
+                m.crow = self._reg(jnp.asarray(cr))
             else:
                 ccs, crs = zip(*[one(fronts_by_slot[s]) for s in range(S)])
-                m.ccol = self._dev(np.stack(ccs))
-                m.crow = self._dev(np.stack(crs))
+                m.ccol = self._reg(self._dev(np.stack(ccs)))
+                m.crow = self._reg(self._dev(np.stack(crs)))
 
         # -- finalize static arrays -------------------------------------------
         for l, m in enumerate(self.local_levels):
@@ -479,7 +485,8 @@ class DeviceMF:
                 dst = _pad2([np.concatenate(x) if x else np.zeros(0, np.int64)
                              for x in dss], m.B * m.NF * m.NF,
                             width=src.shape[1])
-                m.ea.append((lc, self._dev(src), self._dev(dst)))
+                m.ea.append((lc, self._reg(self._dev(src)),
+                             self._reg(self._dev(dst))))
         for l, m in enumerate(self.top_levels):
             pack_asm(m, l, True)
             pack_diag(m, top_fronts[l], True)
@@ -490,13 +497,15 @@ class DeviceMF:
                 src = _pad2([np.concatenate(sr)], upd_len)[0]
                 dst = _pad2([np.concatenate(ds)], m.B * m.NF * m.NF,
                             width=len(src))[0]
-                m.ea.append((lc, jnp.asarray(src), jnp.asarray(dst)))
+                m.ea.append((lc, self._reg(jnp.asarray(src)),
+                             self._reg(jnp.asarray(dst))))
             if l in ea_cross:
                 sr, ds = ea_cross[l]
                 src = _pad2([np.concatenate(sr)], self.CROSS)[0]
                 dst = _pad2([np.concatenate(ds)], m.B * m.NF * m.NF,
                             width=len(src))[0]
-                m.ea_cross.append((jnp.asarray(src), jnp.asarray(dst)))
+                m.ea_cross.append((self._reg(jnp.asarray(src)),
+                                   self._reg(jnp.asarray(dst))))
 
         # cross scatter (per child level): update buffer -> (S, CROSS)
         self.cross_maps = []
@@ -507,21 +516,29 @@ class DeviceMF:
                          for x in srs], upd_len)
             dst = _pad2([np.concatenate(x) if x else np.zeros(0, np.int64)
                          for x in dss], self.CROSS, width=src.shape[1])
-            self.cross_maps.append((lc, self._dev(src), self._dev(dst)))
+            self.cross_maps.append((lc, self._reg(self._dev(src)),
+                                    self._reg(self._dev(dst))))
 
         # permutation + top column ids (device)
-        self.perm_dev = jnp.asarray(sym.perm.astype(np.int32))
+        self.perm_dev = self._reg(jnp.asarray(sym.perm.astype(np.int32)))
         topcols = np.concatenate(
             [np.arange(int(ptr[k]), int(ptr[k + 1])) for k in range(ns)
              if owner[k] < 0]) if (owner < 0).any() else np.zeros(0, np.int64)
-        self.topcols = jnp.asarray(topcols.astype(np.int32))
+        self.n_topcols = len(topcols)
+        self.topcols = self._reg(jnp.asarray(topcols.astype(np.int32)))
 
-        self._factor = jax.jit(self._factor_impl)
-        self._solve = jax.jit(self._solve_impl)
+        self._factor_jit = jax.jit(self._factor_impl)
+        self._solve_jit = jax.jit(self._solve_impl)
 
     # ------------------------------------------------------------------
     def _dev(self, arr):
         return jax.device_put(arr, self.backend.row_sharding(arr.ndim - 2))
+
+    def _reg(self, arr) -> int:
+        """Register a static device array; returns its handle into the
+        buffer pytree passed to the jitted executables."""
+        self._bufs.append(arr)
+        return len(self._bufs) - 1
 
     # ------------------------------------------------------------------
     # numeric factorization (one jit)
@@ -562,7 +579,7 @@ class DeviceMF:
         U = F22 - jnp.matmul(L21, U12, precision=jax.lax.Precision.HIGHEST)
         return (L11, U11, L21, U12), U, npert
 
-    def _factor_impl(self, Avals, eps):
+    def _factor_impl(self, bufs, Avals, eps):
         dt = self.dtype
         S = self.S
         Av = jnp.concatenate([Avals.astype(dt), jnp.zeros(1, dt)])
@@ -571,15 +588,16 @@ class DeviceMF:
         npert = jnp.zeros((), jnp.int32)
         for m in self.local_levels:
             B, NC, NF = m.B, m.NC, m.NF
-            vals = jnp.take(Av, m.a_src, axis=0)  # (S, Ka) replicated source
+            vals = jnp.take(Av, bufs[m.a_src], axis=0)  # (S, Ka) repl. source
             F = jnp.zeros((S, B * NF * NF), dt)
             F = jax.vmap(lambda f, d, v: f.at[d].add(v, mode="drop"))(
-                F, m.a_dst, vals)
-            F = jax.vmap(lambda f, d: f.at[d].set(1.0, mode="drop"))(F, m.diag)
+                F, bufs[m.a_dst], vals)
+            F = jax.vmap(lambda f, d: f.at[d].set(1.0, mode="drop"))(
+                F, bufs[m.diag])
             for lc, src, dst in m.ea:
-                v = self._take(upds[lc], src)
+                v = self._take(upds[lc], bufs[src])
                 F = jax.vmap(lambda f, d, vv: f.at[d].add(vv, mode="drop"))(
-                    F, dst, v)
+                    F, bufs[dst], v)
             F = F.reshape(S * B, NF, NF)
             fac, U, p = self._front_kernel(F, NC, eps)
             npert = npert + p
@@ -591,9 +609,9 @@ class DeviceMF:
         # cross reduction: local roots' updates -> replicated contributions
         cross = jnp.zeros((S, self.CROSS), dt)
         for lc, src, dst in self.cross_maps:
-            v = self._take(upds[lc], src)
+            v = self._take(upds[lc], bufs[src])
             cross = jax.vmap(lambda c, d, vv: c.at[d].add(vv, mode="drop"))(
-                cross, dst, v)
+                cross, bufs[dst], v)
         crossr = jnp.sum(cross, axis=0)  # all-reduce over the mesh axis
 
         tupds = []
@@ -601,16 +619,17 @@ class DeviceMF:
         for m in self.top_levels:
             B, NC, NF = m.B, m.NC, m.NF
             F = jnp.zeros((B * NF * NF,), dt)
-            F = F.at[m.a_dst].add(jnp.take(Av, m.a_src, axis=0), mode="drop")
-            F = F.at[m.diag].set(1.0, mode="drop")
+            F = F.at[bufs[m.a_dst]].add(
+                jnp.take(Av, bufs[m.a_src], axis=0), mode="drop")
+            F = F.at[bufs[m.diag]].set(1.0, mode="drop")
             for lc, src, dst in m.ea:
-                F = F.at[dst].add(
-                    jnp.take(tupds[lc], src, axis=0, mode="fill",
+                F = F.at[bufs[dst]].add(
+                    jnp.take(tupds[lc], bufs[src], axis=0, mode="fill",
                              fill_value=0), mode="drop")
             for src, dst in m.ea_cross:
-                F = F.at[dst].add(
-                    jnp.take(crossr, src, axis=0, mode="fill", fill_value=0),
-                    mode="drop")
+                F = F.at[bufs[dst]].add(
+                    jnp.take(crossr, bufs[src], axis=0, mode="fill",
+                             fill_value=0), mode="drop")
             F = F.reshape(B, NF, NF)
             fac, U, p = self._front_kernel(F, NC, eps)
             npert = npert + p
@@ -657,12 +676,13 @@ class DeviceMF:
     def _l21(self, fac):
         return fac[-1] if self.kind != "lu" else fac[2]
 
-    def _solve_impl(self, loc_factors, top_factors, b):
+    def _solve_impl(self, bufs, loc_factors, top_factors, b):
         # b: (n, k) replicated
         dt = self.dtype
         S, n = self.S, self.n
         k = b.shape[1]
-        y = jnp.concatenate([jnp.take(b, self.perm_dev, axis=0).astype(dt),
+        y = jnp.concatenate([jnp.take(b, bufs[self.perm_dev],
+                                      axis=0).astype(dt),
                              jnp.zeros((1, k), dt)])  # (n+1, k)
         contrib = jnp.zeros((S, n + 1, k), dt)
         zloc = jnp.zeros((S, n + 1, k), dt)
@@ -680,15 +700,16 @@ class DeviceMF:
         for m, fac in zip(self.local_levels, loc_factors):
             B, NC, NF = m.B, m.NC, m.NF
             NR = NF - NC
-            seg = jnp.take(y, m.ccol, axis=0) + takeS(contrib, m.ccol)
+            ccol, crow = bufs[m.ccol], bufs[m.crow]
+            seg = jnp.take(y, ccol, axis=0) + takeS(contrib, ccol)
             seg = seg.reshape(S * B, NC, k)
             facf = tuple(x.reshape((S * B,) + x.shape[2:]) for x in fac)
             z, w = self._fwd(facf, seg)
-            zloc = setS(zloc, m.ccol.reshape(S, B * NC),
+            zloc = setS(zloc, ccol.reshape(S, B * NC),
                         z.reshape(S, B * NC, k))
             upd = jnp.matmul(self._l21(facf), w,
                              precision=jax.lax.Precision.HIGHEST)
-            contrib = addS(contrib, m.crow.reshape(S, B * NR),
+            contrib = addS(contrib, crow.reshape(S, B * NR),
                            -upd.reshape(S, B * NR, k))
             contrib = contrib.at[:, n].set(0.0)
             zloc = zloc.at[:, n].set(0.0)
@@ -698,45 +719,50 @@ class DeviceMF:
         for m, fac in zip(self.top_levels, top_factors):
             B, NC, NF = m.B, m.NC, m.NF
             NR = NF - NC
-            seg = jnp.take(ytop, m.ccol, axis=0)  # (B, NC, k)
+            ccol, crow = bufs[m.ccol], bufs[m.crow]
+            seg = jnp.take(ytop, ccol, axis=0)  # (B, NC, k)
             z, w = self._fwd(fac, seg)
-            ytop = ytop.at[m.ccol.reshape(-1)].set(z.reshape(B * NC, k))
+            ytop = ytop.at[ccol.reshape(-1)].set(z.reshape(B * NC, k))
             upd = jnp.matmul(self._l21(fac), w,
                              precision=jax.lax.Precision.HIGHEST)
-            ytop = ytop.at[m.crow.reshape(-1)].add(-upd.reshape(B * NR, k))
+            ytop = ytop.at[crow.reshape(-1)].add(-upd.reshape(B * NR, k))
             ytop = ytop.at[n].set(0.0)
 
         # backward, top phase
         for m, fac in zip(reversed(self.top_levels), reversed(top_factors)):
             B, NC, NF = m.B, m.NC, m.NF
-            rhs = jnp.take(ytop, m.ccol, axis=0)
-            xr = jnp.take(ytop, m.crow, axis=0)
+            ccol, crow = bufs[m.ccol], bufs[m.crow]
+            rhs = jnp.take(ytop, ccol, axis=0)
+            xr = jnp.take(ytop, crow, axis=0)
             x = self._bwd(fac, rhs, xr)
-            ytop = ytop.at[m.ccol.reshape(-1)].set(x.reshape(B * NC, k))
+            ytop = ytop.at[ccol.reshape(-1)].set(x.reshape(B * NC, k))
             ytop = ytop.at[n].set(0.0)
         xtop = jnp.zeros((n + 1, k), dt)
-        if self.topcols.shape[0]:
-            xtop = xtop.at[self.topcols].set(ytop[self.topcols])
+        if self.n_topcols:
+            tc = bufs[self.topcols]
+            xtop = xtop.at[tc].set(ytop[tc])
 
         # backward, local phase
         xloc = jnp.broadcast_to(xtop, (S, n + 1, k)) + jnp.zeros((S, 1, 1), dt)
         for m, fac in zip(reversed(self.local_levels), reversed(loc_factors)):
             B, NC, NF = m.B, m.NC, m.NF
-            rhs = takeS(zloc, m.ccol).reshape(S * B, NC, k)
-            xr = takeS(xloc, m.crow).reshape(S * B, NF - NC, k)
+            ccol, crow = bufs[m.ccol], bufs[m.crow]
+            rhs = takeS(zloc, ccol).reshape(S * B, NC, k)
+            xr = takeS(xloc, crow).reshape(S * B, NF - NC, k)
             facf = tuple(x.reshape((S * B,) + x.shape[2:]) for x in fac)
             x = self._bwd(facf, rhs, xr)
-            xloc = setS(xloc, m.ccol.reshape(S, B * NC),
+            xloc = setS(xloc, ccol.reshape(S, B * NC),
                         x.reshape(S, B * NC, k))
             xloc = xloc.at[:, n].set(0.0)
 
         xall = jnp.sum(xloc, axis=0) - (S - 1) * xtop  # (n+1, k)
         out = jnp.zeros((n, k), dt)
-        return out.at[self.perm_dev].set(xall[:n])
+        return out.at[bufs[self.perm_dev]].set(xall[:n])
 
     # ------------------------------------------------------------------
     def factor(self, Avals, eps):
-        return self._factor(jnp.asarray(Avals), jnp.asarray(eps, self.dtype))
+        return self._factor_jit(self._bufs, jnp.asarray(Avals),
+                                jnp.asarray(eps, self.dtype))
 
     def solve(self, factors, b):
         loc, top, _ = factors
@@ -744,7 +770,7 @@ class DeviceMF:
         squeeze = b.ndim == 1
         if squeeze:
             b = b[:, None]
-        x = self._solve(loc, top, b)
+        x = self._solve_jit(self._bufs, loc, top, b)
         return x[:, 0] if squeeze else x
 
 

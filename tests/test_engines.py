@@ -33,6 +33,28 @@ def test_spmv_engine_selection(be4):
     assert p2.offsets is None and p2.densify
 
 
+def test_pallas_dia_kernel_interpret(be4):
+    """Pallas DIA kernel vs the XLA oracle, multi-shard (shard_map body),
+    via interpret mode on the CPU mesh — the automated correctness lane for
+    the TPU kernel (VERDICT r1 weak #8)."""
+    from hpclinalg.ops.pallas_dia import pallas_dia_matvec
+    from hpclinalg.ops.spmv import get_spmv_plan
+
+    n = 4096
+    A = laplace2d(64)  # stencil: DIA engine
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4, dtype=np.float32)
+    x = rand_vector(n, np.float32)
+    xv = hl.DistVector.from_global(x, be4, dtype=np.float32)
+    plan = get_spmv_plan(Ad, xv)
+    assert plan.offsets is not None
+    xb = xv.data if plan.exchange.is_identity else plan.exchange.apply(xv.data)
+    y = pallas_dia_matvec(Ad, plan, xb, interpret=True)
+    ref = (A @ x).astype(np.float32)
+    got = np.concatenate([np.asarray(y)[s, : int(np.diff(Ad.row_partition)[s])]
+                          for s in range(be4.nshards)])
+    assert np.allclose(got, ref, rtol=1e-4, atol=1e-4 * abs(ref).max())
+
+
 def test_spmv_engines_agree(cfg):
     be, dtype = cfg
     x = rand_vector(100, dtype)

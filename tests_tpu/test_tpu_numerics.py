@@ -1,0 +1,87 @@
+"""f32 numerics on the real chip — engines, tiers, kernels vs host oracles."""
+
+import numpy as np
+import scipy.sparse as sp
+
+import hpclinalg as hl
+from utils import random_sparse
+
+F32TOL = 2e-4
+
+
+def laplace2d(k):
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(k, k))
+    I = sp.eye(k)
+    return (sp.kron(I, T) + sp.kron(T, I)).tocsr()
+
+
+def _rel(a, b):
+    return np.linalg.norm(np.asarray(a) - b) / max(np.linalg.norm(b), 1e-30)
+
+
+def test_spmv_dia_stencil(be1):
+    A = laplace2d(64)  # n=4096
+    x = np.random.default_rng(0).standard_normal(4096).astype(np.float32)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be1, dtype=np.float32)
+    xv = hl.DistVector.from_global(x, be1, dtype=np.float32)
+    assert _rel((Ad @ xv).to_numpy(), (A @ x).astype(np.float32)) < F32TOL
+
+
+def test_spmv_random_scatter(be1):
+    A = random_sparse(3000, 3000, 0.003, np.float32, seed=1)
+    x = np.random.default_rng(1).standard_normal(3000).astype(np.float32)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be1, dtype=np.float32)
+    xv = hl.DistVector.from_global(x, be1, dtype=np.float32)
+    assert _rel((Ad @ xv).to_numpy(), A @ x) < F32TOL
+
+
+def test_pallas_dia_vs_xla(be1):
+    """The Pallas DIA kernel against the XLA DIA oracle on-chip."""
+    from hpclinalg.ops.pallas_dia import pallas_dia_matvec
+    from hpclinalg.ops.spmv import _dia_exec, _dia_values, get_spmv_plan
+
+    n = 1 << 21  # above MIN_ROWS so the kernel is in-policy
+    main = np.full(n, 2.0, np.float32)
+    off = np.full(n - 1, -1.0, np.float32)
+    A = sp.diags([off, main, off], [-1, 0, 1], format="csr").astype(np.float32)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be1, dtype=np.float32)
+    x = np.random.default_rng(2).standard_normal(n).astype(np.float32)
+    xv = hl.DistVector.from_global(x, be1, dtype=np.float32)
+    plan = get_spmv_plan(Ad, xv)
+    assert plan.offsets is not None
+    xb = xv.data if plan.exchange.is_identity else plan.exchange.apply(xv.data)
+    y_pallas = np.asarray(pallas_dia_matvec(Ad, plan, xb))[0, :n]
+    dval = _dia_values(Ad, plan)
+    y_xla = np.asarray(_dia_exec(plan.offsets, Ad.structure.Lrow, plan.bias_lo,
+                                 plan.bias_hi, pad_to=plan.exchange.out_pad)(
+        dval, xv.data))[0, :n]
+    assert _rel(y_pallas, y_xla) < 1e-6
+
+
+def test_spgemm_tiers(be1):
+    A = laplace2d(32)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be1, dtype=np.float32)
+    C = Ad @ Ad
+    ref = (A @ A).toarray()
+    assert _rel(C.to_scipy().toarray(), ref) < F32TOL
+    R = random_sparse(400, 400, 0.02, np.float32, seed=3)
+    Rd = hl.DistSparseMatrix.from_scipy(R, be1, dtype=np.float32)
+    assert _rel((Rd @ Rd).to_scipy().toarray(), (R @ R).toarray()) < F32TOL
+
+
+def test_transpose(be1):
+    A = random_sparse(500, 300, 0.02, np.float32, seed=4)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be1, dtype=np.float32)
+    At = Ad.transpose_materialized()
+    assert _rel(At.to_scipy().toarray(), A.T.toarray()) < F32TOL
+
+
+def test_device_multifrontal_f32(be1):
+    A = laplace2d(48)  # n=2304
+    n = A.shape[0]
+    b = np.random.default_rng(5).standard_normal(n).astype(np.float32)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be1, dtype=np.float32)
+    bd = hl.DistVector.from_global(b, be1, dtype=np.float32)
+    F = hl.ldlt(Ad, method="device", spd=True)
+    x = F.solve(bd)
+    assert _rel(A @ x.to_numpy(), b) < 1e-4
