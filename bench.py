@@ -1,6 +1,6 @@
 """Headline benchmark — prints ONE JSON line.
 
-Workload: LDLT factor + solve on the 2D Laplacian 100^2 (n=10,000,
+Headline metric: LDLT factor + solve on the 2D Laplacian 100^2 (n=10,000,
 nnz=49,600) — the reference's PETSc head-to-head workload
 (/root/reference/tools/benchmark_vs_petsc.jl), where HPCLinearAlgebra.jl
 via MUMPS reports 17.27 ms factor + 5.94 ms solve = 23.2 ms on 4 MPI ranks
@@ -8,9 +8,14 @@ via MUMPS reports 17.27 ms factor + 5.94 ms solve = 23.2 ms on 4 MPI ranks
 from-scratch supernodal multifrontal engine (C++ fronts on BLAS, AMD
 ordering, native symbolic analysis) with one step of refinement.
 
+The ``extras`` field reports the TPU-side metrics BASELINE.md names as the
+north star (VERDICT r1 item 10): SpMV on stencil and random patterns with
+achieved bandwidth and %HBM-peak, SpGEMM, and the distributed device
+multifrontal factor vs the host engine at the same size.
+
 Methodology mirrors the reference harness (median over timed repetitions
-after warmup, benchmark_factorization.jl:47-66). Steady state times the
-refactorize+solve path — the plan-reuse contract both libraries share.
+after warmup, benchmark_factorization.jl:47-66), with sync by scalar
+readback (block_until_ready is unreliable through the axon relay).
 """
 
 import json
@@ -20,6 +25,7 @@ import numpy as np
 import scipy.sparse as sp
 
 BASELINE_MS = 23.2  # reference MUMPS factor+solve, 4 ranks (BASELINE.md)
+HBM_PEAK_GBS = 819.0  # TPU v5e HBM peak
 
 
 def laplace2d(k, dtype=np.float64):
@@ -28,22 +34,49 @@ def laplace2d(k, dtype=np.float64):
     return (sp.kron(I, T) + sp.kron(T, I)).tocsr().astype(dtype)
 
 
+def _median_ms(fn, sync, n=5):
+    fn()  # warm
+    sync()
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        sync(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts) * 1e3)
+
+
 def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hpclinalg_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
     import hpclinalg as hl
 
-    # NOTE: x64 device storage hangs/compiles pathologically on this TPU
-    # generation; device containers are f32 while the factorization itself
-    # runs in f64 on host. The RHS therefore crosses the device once at f32,
-    # bounding the achievable residual at f32 accuracy.
+    extras = {}
+
+    def sync(x=None):
+        if x is not None:
+            # scalar readback forces completion through the relay
+            arr = x if isinstance(x, jax.Array) else getattr(
+                x, "data", None) if hasattr(x, "data") else x.nzval
+            if arr is None:
+                arr = x.nzval
+            float(jnp.sum(arr))
+        return x
+
+    # ---- headline: host multifrontal LDLT factor+solve, n=10k ----------
+    # NOTE: x64 device storage hangs on this TPU generation; device
+    # containers are f32 while the factorization runs in f64 on host.
     be = hl.backend_auto(dtype=np.float64)
     A = laplace2d(100)  # n=10,000, nnz=49,600
     Ad = hl.DistSparseMatrix.from_scipy(A, be)
     bh = np.random.default_rng(0).standard_normal(10000)
     b = hl.DistVector.from_global(bh, be)
-
-    F = hl.ldlt(Ad)      # symbolic + first numeric (warmup)
-    x = F.solve(b)       # warm the solve path
-
+    F = hl.ldlt(Ad)
+    x = F.solve(b)
     times = []
     for _ in range(10):
         t0 = time.perf_counter()
@@ -51,15 +84,80 @@ def main():
         x = F.solve(b)
         times.append(time.perf_counter() - t0)
     ms = float(np.median(times) * 1e3)
-
     resid = np.linalg.norm(A @ x.to_numpy() - bh) / np.linalg.norm(bh)
     assert resid < 1e-5, f"solve inaccurate: {resid}"
+
+    # ---- SpMV, stencil pattern (DIA engine), n=1M ------------------------
+    n1 = 1_000_000
+    As = laplace2d(1000, np.float32)
+    Asd = hl.DistSparseMatrix.from_scipy(As, be, dtype=np.float32)
+    xs = hl.DistVector.from_global(
+        np.random.default_rng(1).standard_normal(n1), be, dtype=np.float32)
+    t = _median_ms(lambda: Asd @ xs, sync)
+    # one pass over the diagonal table (O densities) + x + y
+    from hpclinalg.ops.spmv import get_spmv_plan
+
+    plan = get_spmv_plan(Asd, xs)
+    O = len(plan.offsets) if plan.offsets else 0
+    traffic = (O * n1 + 2 * n1) * 4  # bytes
+    gbs = traffic / (t / 1e3) / 1e9
+    extras["spmv_stencil_1m_ms"] = round(t, 3)
+    extras["spmv_stencil_gbs"] = round(gbs, 1)
+    extras["spmv_stencil_hbm_frac"] = round(gbs / HBM_PEAK_GBS, 3)
+
+    # ---- SpMV, random pattern (scatter path), n=1M, ~8 nnz/row ----------
+    rng = np.random.default_rng(2)
+    nnz_r = 8
+    rows = np.repeat(np.arange(n1, dtype=np.int64), nnz_r)
+    cols = rng.integers(0, n1, size=n1 * nnz_r)
+    Ar = sp.csr_matrix((rng.standard_normal(n1 * nnz_r).astype(np.float32),
+                        (rows, cols)), shape=(n1, n1))
+    Ar.sum_duplicates()
+    Ard = hl.DistSparseMatrix.from_scipy(Ar, be, dtype=np.float32)
+    tr = _median_ms(lambda: Ard @ xs, sync)
+    extras["spmv_random_1m_ms"] = round(tr, 3)
+    extras["spmv_random_melems_s"] = round(Ar.nnz / (tr / 1e3) / 1e6, 1)
+    rgbs = (Ar.nnz * 8 + 2 * n1 * 4) / (tr / 1e3) / 1e9  # nzval+cols + x + y
+    extras["spmv_random_hbm_frac"] = round(rgbs / HBM_PEAK_GBS, 3)
+
+    # ---- SpGEMM A*A, n=10k stencil (DIA tier) ----------------------------
+    Af = hl.DistSparseMatrix.from_scipy(laplace2d(100, np.float32), be,
+                                        dtype=np.float32)
+    tg = _median_ms(lambda: Af @ Af, sync)
+    extras["spgemm_laplace10k_ms"] = round(tg, 3)
+
+    # ---- distributed device multifrontal vs host, n=262k SPD ------------
+    try:
+        k2 = 512
+        A2 = laplace2d(k2)
+        A2d = hl.DistSparseMatrix.from_scipy(A2, be)
+        Fh = hl.ldlt(A2d)
+        th = _median_ms(lambda: Fh.refactorize(A2d), sync=lambda x=None: x, n=3)
+        Fd = hl.ldlt(A2d, method="device", spd=True)
+        from hpclinalg.parallel.mesh import allgather_full
+
+        st2 = A2d.structure
+        nnzb = np.concatenate([[0], np.cumsum(st2.nnz_local)]).astype(np.int64)
+        Av2 = allgather_full(A2d.nzval, nnzb, be)
+        eps2 = np.float32(1e-7 * float(jnp.max(jnp.abs(A2d.nzval))))
+        td = _median_ms(lambda: Fd.engine.factor(Av2, eps2)[0][-1][0],
+                        sync, n=3)
+        extras["host_ldlt_factor_262k_ms"] = round(th, 1)
+        extras["device_chol_factor_262k_ms"] = round(td, 1)
+        b2 = hl.DistVector.from_global(
+            np.random.default_rng(3).standard_normal(k2 * k2), be,
+            dtype=np.float32)
+        ts_ = _median_ms(lambda: Fd.solve(b2, refine=0), sync, n=3)
+        extras["device_solve_262k_ms"] = round(ts_, 1)
+    except Exception as e:  # keep the headline robust
+        extras["device_factor_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": "ldlt_factor_plus_solve_laplace100sq_ms",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
+        "extras": extras,
     }))
 
 
