@@ -55,6 +55,28 @@ def test_pallas_dia_kernel_interpret(be4):
     assert np.allclose(got, ref, rtol=1e-4, atol=1e-4 * abs(ref).max())
 
 
+def test_pallas_ell_kernel_interpret(be4):
+    """Pallas ELL (general-CSR) kernel vs scipy, multi-shard, interpret mode
+    — the non-stencil kernel of SURVEY §7.1 (ref _spmv_kernel!,
+    sparse.jl:2055)."""
+    from hpclinalg.ops.pallas_csr import pallas_ell_matvec
+    from hpclinalg.ops.spmv import get_spmv_plan
+
+    rng = np.random.default_rng(17)
+    n = 600
+    A = sp.random(n, n, 0.02, format="csr", random_state=rng).astype(np.float32)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4, dtype=np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    xv = hl.DistVector.from_global(x, be4, dtype=np.float32)
+    plan = get_spmv_plan(Ad, xv)
+    xb = xv.data if plan.exchange.is_identity else plan.exchange.apply(xv.data)
+    y = pallas_ell_matvec(Ad, plan, xb, interpret=True)
+    got = np.concatenate([np.asarray(y)[s, : int(np.diff(Ad.row_partition)[s])]
+                          for s in range(be4.nshards)])
+    ref = (A @ x).astype(np.float32)
+    assert np.allclose(got, ref, rtol=1e-4, atol=1e-4 * max(abs(ref).max(), 1))
+
+
 def test_spmv_engines_agree(cfg):
     be, dtype = cfg
     x = rand_vector(100, dtype)
