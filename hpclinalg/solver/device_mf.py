@@ -290,6 +290,11 @@ class DeviceMF:
             self.top_levels.append(m)
             for k in ks_all:
                 self._lvl_geom[k] = (NC, NF)
+        for m in (*self.local_levels, *self.top_levels):
+            if m.B * m.NF * m.NF >= 2**31 - 1:
+                raise ValueError(
+                    "front batch exceeds int32 index space "
+                    f"(B={m.B}, NF={m.NF})")
 
         # -- assembly maps: A entries (global CSR order) -> front slots ------
         # the gathered distributed nzval (concat of contiguous row shards,
@@ -380,6 +385,12 @@ class DeviceMF:
                           m.B * m.NF * m.NF)))
 
         # -- extend-add maps --------------------------------------------------
+        # COMPACT representation: the per-child nr x nr scatter indices are
+        # never materialized (O(sum nr^2) host/device memory would sink 3D
+        # problems); we store only each child's parent-slot vector psl
+        # (O(sum nr)) plus batch slots, and the jitted executable computes
+        # dst[b, i, j] = (b_parent*NF + psl[i])*NF + psl[j] on device by
+        # broadcasting.
         # cross buffer: local subtree roots with a top parent
         croff = {}
         off = 0
@@ -390,60 +401,57 @@ class DeviceMF:
                 off += int(nr_of[k]) ** 2
         self.CROSS = max(off, 1)
 
-        def child_update_src(k):
-            """Flat slots of child k's ACTUAL update inside its padded
-            per-level update buffer (B, NR, NR)."""
-            kindL, *loc = slot[k]
-            NCc, NFc = self._lvl_geom[k]
-            NRc = NFc - NCc
-            bc = loc[2] if kindL == "loc" else loc[1]
-            nr = int(nr_of[k])
-            ci = np.repeat(np.arange(nr), nr)
-            cj = np.tile(np.arange(nr), nr)
-            return (bc * NRc + ci) * NRc + cj, ci, cj
-
-        ea_loc = {}    # (l, s) -> {child_level: ([srcs],[dsts])}
-        ea_top = {}    # l -> {child_top_level: ([srcs],[dsts])}
-        ea_cross = {}  # l -> ([srcs into cross], [dsts])
-        cross_scatter = {}  # child_level -> per-shard ([srcs],[dsts])
+        ea_loc = {}    # (lp, lc) -> per shard [(bc, bp, psl)]
+        ea_top = {}    # (lp, lc) -> [(bc, bp, psl)]
+        cross_out = {}  # lc -> per shard [(bc, croff, nr)]
+        cross_in = {}   # lp -> [(croff, nr, bp, psl)]
         for k in range(ns):
             p = int(parent[k])
             if p < 0 or int(nr_of[k]) == 0:
                 continue
-            src, ci, cj = child_update_src(k)
+            pslot = front_slot(p, rows_of[k]).astype(np.int32)
             pk, *ploc = slot[p]
-            NCp, NFp = self._lvl_geom[p]
-            pslot = front_slot(p, rows_of[k])
             kk, *kloc = slot[k]
+            nr = int(nr_of[k])
             if kk == "loc" and pk == "loc":
                 lp, sp_, bp = ploc
-                dst = (bp * NFp + pslot[ci]) * NFp + pslot[cj]
-                d = ea_loc.setdefault((lp, sp_), {})
-                sr, ds = d.setdefault(kloc[0], ([], []))
-                sr.append(src)
-                ds.append(dst)
+                lc, sc, bc = kloc
+                ea_loc.setdefault((lp, lc), [[] for _ in range(S)])[sp_]\
+                    .append((bc, bp, pslot))
             elif kk == "loc" and pk == "top":
-                # child root -> cross buffer (on its own shard)
-                lc, sc, _ = kloc
-                nr = int(nr_of[k])
-                cdst = croff[k] + ci * nr + cj
-                per = cross_scatter.setdefault(lc, ([[] for _ in range(S)],
-                                                    [[] for _ in range(S)]))
-                per[0][sc].append(src)
-                per[1][sc].append(cdst)
-                # parent assembles from the replicated cross buffer
+                lc, sc, bc = kloc
                 lp, bp = ploc
-                dst = (bp * NFp + pslot[ci]) * NFp + pslot[cj]
-                sr, ds = ea_cross.setdefault(lp, ([], []))
-                sr.append(croff[k] + ci * nr + cj)
-                ds.append(dst)
+                cross_out.setdefault(lc, [[] for _ in range(S)])[sc]\
+                    .append((bc, croff[k], nr))
+                cross_in.setdefault(lp, []).append((croff[k], nr, bp, pslot))
             else:  # top -> top
                 lp, bp = ploc
-                dst = (bp * NFp + pslot[ci]) * NFp + pslot[cj]
-                d = ea_top.setdefault(lp, {})
-                sr, ds = d.setdefault(kloc[0], ([], []))
-                sr.append(src)
-                ds.append(dst)
+                lc, bc = kloc
+                ea_top.setdefault((lp, lc), []).append((bc, bp, pslot))
+
+        def _pack_group(entries, NR):
+            """[(bc, bp, psl)] -> (srcb (C,), dstb (C,), psl (C, NR))."""
+            C = max(len(entries), 1)
+            srcb = np.zeros(C, dtype=np.int32)
+            dstb = np.zeros(C, dtype=np.int32)
+            psl = np.full((C, NR), -1, dtype=np.int32)
+            for i, (bc, bp, ps) in enumerate(entries):
+                srcb[i] = bc
+                dstb[i] = bp
+                psl[i, : len(ps)] = ps
+            return srcb, dstb, psl
+
+        def _pack_group_sharded(per_shard, NR):
+            packed = [_pack_group(per_shard[s], NR) for s in range(S)]
+            C = max(p0[0].shape[0] for p0 in packed)
+            srcb = np.zeros((S, C), dtype=np.int32)
+            dstb = np.zeros((S, C), dtype=np.int32)
+            psl = np.full((S, C, NR), -1, dtype=np.int32)
+            for s, (sb, db, ps) in enumerate(packed):
+                srcb[s, : sb.shape[0]] = sb
+                dstb[s, : db.shape[0]] = db
+                psl[s, : ps.shape[0]] = ps
+            return srcb, dstb, psl
 
         # -- solve gather maps -------------------------------------------------
         def pack_cols(m, fronts_by_slot, is_top):
@@ -469,55 +477,55 @@ class DeviceMF:
             pack_asm(m, l, False)
             pack_diag(m, loc_fronts[l], False)
             pack_cols(m, loc_fronts[l], False)
-            # regroup per (shard): build (S, K) arrays per child level
-            per_child = {}
-            for (ll, s), dd in [x for x in ea_loc.items() if x[0][0] == l]:
-                for lc, (sr, ds) in dd.items():
-                    e = per_child.setdefault(lc, ([[] for _ in range(S)],
-                                                  [[] for _ in range(S)]))
-                    e[0][s].extend(sr)
-                    e[1][s].extend(ds)
-            for lc, (srs, dss) in sorted(per_child.items()):
+            for (lp, lc), per_shard in sorted(x for x in ea_loc.items()
+                                              if x[0][0] == l):
                 mc = self.local_levels[lc]
-                upd_len = mc.B * (mc.NF - mc.NC) * (mc.NF - mc.NC)
-                src = _pad2([np.concatenate(x) if x else np.zeros(0, np.int64)
-                             for x in srs], upd_len)
-                dst = _pad2([np.concatenate(x) if x else np.zeros(0, np.int64)
-                             for x in dss], m.B * m.NF * m.NF,
-                            width=src.shape[1])
-                m.ea.append((lc, self._reg(self._dev(src)),
-                             self._reg(self._dev(dst))))
+                NRc = mc.NF - mc.NC
+                srcb, dstb, psl = _pack_group_sharded(per_shard, NRc)
+                m.ea.append((lc, self._reg(self._dev(srcb)),
+                             self._reg(self._dev(dstb)),
+                             self._reg(self._dev(psl))))
         for l, m in enumerate(self.top_levels):
             pack_asm(m, l, True)
             pack_diag(m, top_fronts[l], True)
             pack_cols(m, top_fronts[l], True)
-            for lc, (sr, ds) in sorted(ea_top.get(l, {}).items()):
+            for (lp, lc), entries in sorted(x for x in ea_top.items()
+                                            if x[0][0] == l):
                 mc = self.top_levels[lc]
-                upd_len = mc.B * (mc.NF - mc.NC) * (mc.NF - mc.NC)
-                src = _pad2([np.concatenate(sr)], upd_len)[0]
-                dst = _pad2([np.concatenate(ds)], m.B * m.NF * m.NF,
-                            width=len(src))[0]
-                m.ea.append((lc, self._reg(jnp.asarray(src)),
-                             self._reg(jnp.asarray(dst))))
-            if l in ea_cross:
-                sr, ds = ea_cross[l]
-                src = _pad2([np.concatenate(sr)], self.CROSS)[0]
-                dst = _pad2([np.concatenate(ds)], m.B * m.NF * m.NF,
-                            width=len(src))[0]
-                m.ea_cross.append((self._reg(jnp.asarray(src)),
-                                   self._reg(jnp.asarray(dst))))
+                NRc = mc.NF - mc.NC
+                srcb, dstb, psl = _pack_group(entries, NRc)
+                m.ea.append((lc, self._reg(jnp.asarray(srcb)),
+                             self._reg(jnp.asarray(dstb)),
+                             self._reg(jnp.asarray(psl))))
+            if l in cross_in:
+                entries = cross_in[l]
+                NRX = max(len(e[3]) for e in entries)
+                C = len(entries)
+                co = np.zeros(C, dtype=np.int32)
+                nrv = np.zeros(C, dtype=np.int32)
+                dstb = np.zeros(C, dtype=np.int32)
+                psl = np.full((C, NRX), -1, dtype=np.int32)
+                for i, (o, nr, bp, ps) in enumerate(entries):
+                    co[i], nrv[i], dstb[i] = o, nr, bp
+                    psl[i, : len(ps)] = ps
+                m.ea_cross.append((self._reg(jnp.asarray(co)),
+                                   self._reg(jnp.asarray(nrv)),
+                                   self._reg(jnp.asarray(dstb)),
+                                   self._reg(jnp.asarray(psl)), NRX))
 
         # cross scatter (per child level): update buffer -> (S, CROSS)
         self.cross_maps = []
-        for lc, (srs, dss) in sorted(cross_scatter.items()):
-            mc = self.local_levels[lc]
-            upd_len = mc.B * (mc.NF - mc.NC) * (mc.NF - mc.NC)
-            src = _pad2([np.concatenate(x) if x else np.zeros(0, np.int64)
-                         for x in srs], upd_len)
-            dst = _pad2([np.concatenate(x) if x else np.zeros(0, np.int64)
-                         for x in dss], self.CROSS, width=src.shape[1])
-            self.cross_maps.append((lc, self._reg(self._dev(src)),
-                                    self._reg(self._dev(dst))))
+        for lc, per_shard in sorted(cross_out.items()):
+            C = max(max(len(per_shard[s]) for s in range(S)), 1)
+            srcb = np.zeros((S, C), dtype=np.int32)
+            co = np.full((S, C), self.CROSS, dtype=np.int32)  # pad -> OOB
+            nrv = np.zeros((S, C), dtype=np.int32)
+            for s in range(S):
+                for i, (bc, o, nr) in enumerate(per_shard[s]):
+                    srcb[s, i], co[s, i], nrv[s, i] = bc, o, nr
+            self.cross_maps.append((lc, self._reg(self._dev(srcb)),
+                                    self._reg(self._dev(co)),
+                                    self._reg(self._dev(nrv))))
 
         # permutation + top column ids (device)
         self.perm_dev = self._reg(jnp.asarray(sym.perm.astype(np.int32)))
@@ -583,9 +591,19 @@ class DeviceMF:
         dt = self.dtype
         S = self.S
         Av = jnp.concatenate([Avals.astype(dt), jnp.zeros(1, dt)])
-        upds = []
+        upds = []          # per local level: (S, B, NR, NR)
         loc_factors = []
         npert = jnp.zeros((), jnp.int32)
+
+        def ea_dst(dstb, psl, NF, oob):
+            """(…, C) batch slots + (…, C, NR) parent slots -> flat front
+            indices (…, C, NR, NR), computed on device (never materialized
+            on host: O(sum nr^2) would sink 3D problems)."""
+            pi = psl[..., :, None]
+            pj = psl[..., None, :]
+            dst = (dstb[..., None, None] * NF + pi) * NF + pj
+            return jnp.where((pi < 0) | (pj < 0), oob, dst)
+
         for m in self.local_levels:
             B, NC, NF = m.B, m.NC, m.NF
             vals = jnp.take(Av, bufs[m.a_src], axis=0)  # (S, Ka) repl. source
@@ -594,25 +612,34 @@ class DeviceMF:
                 F, bufs[m.a_dst], vals)
             F = jax.vmap(lambda f, d: f.at[d].set(1.0, mode="drop"))(
                 F, bufs[m.diag])
-            for lc, src, dst in m.ea:
-                v = self._take(upds[lc], bufs[src])
-                F = jax.vmap(lambda f, d, vv: f.at[d].add(vv, mode="drop"))(
-                    F, bufs[dst], v)
+            for lc, srcb, dstb, psl in m.ea:
+                u = jax.vmap(lambda Us, sb: Us[sb])(upds[lc], bufs[srcb])
+                dst = ea_dst(bufs[dstb], bufs[psl], NF, B * NF * NF)
+                F = jax.vmap(lambda f, d, vv: f.at[d.reshape(-1)].add(
+                    vv.reshape(-1), mode="drop"))(F, dst, u)
             F = F.reshape(S * B, NF, NF)
             fac, U, p = self._front_kernel(F, NC, eps)
             npert = npert + p
             NR = NF - NC
-            upds.append(U.reshape(S, B * NR * NR))
+            upds.append(U.reshape(S, B, NR, NR))
             loc_factors.append(tuple(
                 x.reshape((S, B) + x.shape[1:]) for x in fac))
 
         # cross reduction: local roots' updates -> replicated contributions
         cross = jnp.zeros((S, self.CROSS), dt)
-        for lc, src, dst in self.cross_maps:
-            v = self._take(upds[lc], bufs[src])
-            cross = jax.vmap(lambda c, d, vv: c.at[d].add(vv, mode="drop"))(
-                cross, bufs[dst], v)
+        for lc, srcb, co, nrv in self.cross_maps:
+            U = upds[lc]
+            NRc = U.shape[-1]
+            u = jax.vmap(lambda Us, sb: Us[sb])(U, bufs[srcb])  # (S,C,NR,NR)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (NRc, NRc), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (NRc, NRc), 1)
+            nre = bufs[nrv][:, :, None, None]
+            dst = bufs[co][:, :, None, None] + ii * nre + jj
+            dst = jnp.where((ii < nre) & (jj < nre), dst, self.CROSS)
+            cross = jax.vmap(lambda c, d, vv: c.at[d.reshape(-1)].add(
+                vv.reshape(-1), mode="drop"))(cross, dst, u)
         crossr = jnp.sum(cross, axis=0)  # all-reduce over the mesh axis
+        crossp = jnp.concatenate([crossr, jnp.zeros(1, dt)])  # zero slot
 
         tupds = []
         top_factors = []
@@ -622,19 +649,24 @@ class DeviceMF:
             F = F.at[bufs[m.a_dst]].add(
                 jnp.take(Av, bufs[m.a_src], axis=0), mode="drop")
             F = F.at[bufs[m.diag]].set(1.0, mode="drop")
-            for lc, src, dst in m.ea:
-                F = F.at[bufs[dst]].add(
-                    jnp.take(tupds[lc], bufs[src], axis=0, mode="fill",
-                             fill_value=0), mode="drop")
-            for src, dst in m.ea_cross:
-                F = F.at[bufs[dst]].add(
-                    jnp.take(crossr, bufs[src], axis=0, mode="fill",
-                             fill_value=0), mode="drop")
+            for lc, srcb, dstb, psl in m.ea:
+                u = tupds[lc][bufs[srcb]]  # (C, NR, NR)
+                dst = ea_dst(bufs[dstb], bufs[psl], NF, B * NF * NF)
+                F = F.at[dst.reshape(-1)].add(u.reshape(-1), mode="drop")
+            for co, nrv, dstb, psl, NRX in m.ea_cross:
+                ii = jax.lax.broadcasted_iota(jnp.int32, (NRX, NRX), 0)
+                jj = jax.lax.broadcasted_iota(jnp.int32, (NRX, NRX), 1)
+                nre = bufs[nrv][:, None, None]
+                sidx = bufs[co][:, None, None] + ii * nre + jj
+                sidx = jnp.where((ii < nre) & (jj < nre), sidx, self.CROSS)
+                vals_c = crossp[sidx]  # (C, NRX, NRX); invalid -> 0
+                dst = ea_dst(bufs[dstb], bufs[psl], NF, B * NF * NF)
+                F = F.at[dst.reshape(-1)].add(vals_c.reshape(-1), mode="drop")
             F = F.reshape(B, NF, NF)
             fac, U, p = self._front_kernel(F, NC, eps)
             npert = npert + p
             NR = NF - NC
-            tupds.append(U.reshape(B * NR * NR))
+            tupds.append(U.reshape(B, NR, NR))
             top_factors.append(fac)
         return loc_factors, top_factors, npert
 
