@@ -45,6 +45,24 @@ def _median_ms(fn, sync, n=5):
     return float(np.median(ts) * 1e3)
 
 
+def _amortized_ms(fn, sync, K=32):
+    """Per-op time for SMALL ops: K async dispatches + ONE sync, minus the
+    measured relay round-trip (the axon relay RTT varies 1-30 ms session to
+    session and would otherwise swamp ms-class kernels)."""
+    out = fn()
+    sync(out)  # warm (compile) + sync
+    # relay RTT probe
+    t0 = time.perf_counter()
+    sync(out)
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(K):
+        out = fn()
+    sync(out)
+    total = time.perf_counter() - t0
+    return float(max(total - rtt, total / (K + 1)) / K * 1e3)
+
+
 def main():
     import jax
 
@@ -93,7 +111,7 @@ def main():
     Asd = hl.DistSparseMatrix.from_scipy(As, be, dtype=np.float32)
     xs = hl.DistVector.from_global(
         np.random.default_rng(1).standard_normal(n1), be, dtype=np.float32)
-    t = _median_ms(lambda: Asd @ xs, sync)
+    t = _amortized_ms(lambda: Asd @ xs, sync)
     # one pass over the diagonal table (O densities) + x + y
     from hpclinalg.ops.spmv import get_spmv_plan
 
@@ -114,7 +132,7 @@ def main():
                         (rows, cols)), shape=(n1, n1))
     Ar.sum_duplicates()
     Ard = hl.DistSparseMatrix.from_scipy(Ar, be, dtype=np.float32)
-    tr = _median_ms(lambda: Ard @ xs, sync)
+    tr = _amortized_ms(lambda: Ard @ xs, sync, K=8)
     extras["spmv_random_1m_ms"] = round(tr, 3)
     extras["spmv_random_melems_s"] = round(Ar.nnz / (tr / 1e3) / 1e6, 1)
     rgbs = (Ar.nnz * 8 + 2 * n1 * 4) / (tr / 1e3) / 1e9  # nzval+cols + x + y
@@ -123,7 +141,7 @@ def main():
     # ---- SpGEMM A*A, n=10k stencil (DIA tier) ----------------------------
     Af = hl.DistSparseMatrix.from_scipy(laplace2d(100, np.float32), be,
                                         dtype=np.float32)
-    tg = _median_ms(lambda: Af @ Af, sync)
+    tg = _amortized_ms(lambda: Af @ Af, sync)
     extras["spgemm_laplace10k_ms"] = round(tg, 3)
 
     # ---- distributed device multifrontal vs host, n=262k SPD ------------

@@ -10,11 +10,16 @@ on-chip memory instead of HBM:
 
     y[i] = sum_w vals[i, w] * x[cols[i, w]]      (padding -> zero slot)
 
-Measured on v5e (n=1e6, 8 nnz/row random): the in-VMEM gather is the
-decisive factor — see bench.py's spmv_random entries for current numbers.
-The XLA segment-sum path remains the default engine; ``matvec`` switches
-to this kernel only where the policy says it wins (TPU platform, ELL
-padding bounded, x buffer fits VMEM).
+**Mosaic limitation (v5e, jax 0.8)**: the in-kernel gather lowers only as
+``tpu.dynamic_gather`` with take_along_axis semantics (2D operand, same-
+shape indices, gather along one axis within the other) — there is no
+arbitrary large-space vector gather, so ``xg[idx]`` against a ~1M-slot
+VMEM buffer does NOT lower. ``ell_available`` therefore returns False on
+Mosaic TPUs and the XLA gather+segment path (measured 51 M elem/s at
+n=1e6, 8 nnz/row — the chip's effective random-access ceiling) remains
+the general-sparsity engine. The kernel stays interpret-validated
+(tests/test_engines.py) as the ready vehicle for when Mosaic gains a
+gather primitive; structured patterns ride the DIA/densify tiers instead.
 """
 
 from __future__ import annotations
@@ -35,6 +40,16 @@ MIN_NNZ = 1 << 20         # below this the dispatch floor dominates anyway
 
 
 def ell_available(backend, st, Gpad: int) -> bool:
+    # Mosaic on current TPU generations cannot lower the in-kernel
+    # large-space gather (see module docstring) — the kernel is correct
+    # (interpret mode) but not deployable; keep the XLA engine in charge.
+    return False
+
+
+def ell_policy_would_accept(backend, st, Gpad: int) -> bool:
+    """The deployment policy this kernel will use once Mosaic lowers
+    arbitrary gathers: TPU platform, x buffer resident in VMEM, bounded
+    ELL padding, enough work to clear the dispatch floor."""
     try:
         platform = backend.mesh.devices.flat[0].platform
     except Exception:
