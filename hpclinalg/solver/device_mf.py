@@ -536,7 +536,8 @@ class DeviceMF:
         self.topcols = self._reg(jnp.asarray(topcols.astype(np.int32)))
 
         self._factor_jit = jax.jit(self._factor_impl)
-        self._solve_jit = jax.jit(self._solve_impl)
+        self._solve_jit = jax.jit(self._solve_impl,
+                                  static_argnums=(4,))
 
     # ------------------------------------------------------------------
     def _dev(self, arr):
@@ -673,8 +674,10 @@ class DeviceMF:
     # ------------------------------------------------------------------
     # solve (one jit; RHS (n, k) replicated on device)
     # ------------------------------------------------------------------
-    def _fwd(self, fac, seg):
-        """seg (B', NC, k) -> (z stored for backward, w for updates)."""
+    def _fwd(self, fac, seg, tr=False):
+        """seg (B', NC, k) -> (z stored for backward, w for updates).
+        ``tr`` solves the transposed system (LU only: Aᵀ = Uᵀ Lᵀ, so the
+        forward sweep uses Uᵀ — lower, non-unit)."""
         if self.kind == "chol":
             L11 = fac[0]
             w = _tri(L11, seg, left_side=True, lower=True)
@@ -683,13 +686,17 @@ class DeviceMF:
             L11, d = fac[0], fac[1]
             w = _tri(L11, seg, left_side=True, lower=True, unit_diagonal=True)
             return w / d[:, :, None], w
+        if tr:  # LU transpose: Uᵀ z = b
+            U11 = fac[1]
+            w = _tri(U11, seg, left_side=True, lower=False, transpose_a=True)
+            return w, w
         L11 = fac[0]
         w = _tri(L11, seg, left_side=True, lower=True, unit_diagonal=True)
         return w, w
 
-    def _bwd(self, fac, rhs, xr):
-        """rhs = stored z minus cross terms already applied? No: rhs is the
-        stored z segment; xr (B', NR, k) the ancestor solution rows."""
+    def _bwd(self, fac, rhs, xr, tr=False):
+        """rhs is the stored z segment; xr (B', NR, k) the ancestor solution
+        rows. ``tr`` (LU only): backward with Lᵀ (unit)."""
         if self.kind == "chol":
             L11, L21 = fac
             t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr,
@@ -702,13 +709,22 @@ class DeviceMF:
             return _tri(L11, t, left_side=True, lower=True, transpose_a=True,
                         unit_diagonal=True)
         L11, U11, L21, U12 = fac
+        if tr:  # Lᵀ x = z
+            t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr,
+                                 precision=jax.lax.Precision.HIGHEST)
+            return _tri(L11, t, left_side=True, lower=True, transpose_a=True,
+                        unit_diagonal=True)
         t = rhs - jnp.matmul(U12, xr, precision=jax.lax.Precision.HIGHEST)
         return _tri(U11, t, left_side=True, lower=False)
 
-    def _l21(self, fac):
-        return fac[-1] if self.kind != "lu" else fac[2]
+    def _l21(self, fac, tr=False):
+        if self.kind != "lu":
+            return fac[-1]
+        if tr:  # Uᵀ off-block: U12ᵀ (NR, NC)
+            return jnp.swapaxes(fac[3], 1, 2)
+        return fac[2]
 
-    def _solve_impl(self, bufs, loc_factors, top_factors, b):
+    def _solve_impl(self, bufs, loc_factors, top_factors, b, tr=False):
         # b: (n, k) replicated
         dt = self.dtype
         S, n = self.S, self.n
@@ -736,10 +752,10 @@ class DeviceMF:
             seg = jnp.take(y, ccol, axis=0) + takeS(contrib, ccol)
             seg = seg.reshape(S * B, NC, k)
             facf = tuple(x.reshape((S * B,) + x.shape[2:]) for x in fac)
-            z, w = self._fwd(facf, seg)
+            z, w = self._fwd(facf, seg, tr)
             zloc = setS(zloc, ccol.reshape(S, B * NC),
                         z.reshape(S, B * NC, k))
-            upd = jnp.matmul(self._l21(facf), w,
+            upd = jnp.matmul(self._l21(facf, tr), w,
                              precision=jax.lax.Precision.HIGHEST)
             contrib = addS(contrib, crow.reshape(S, B * NR),
                            -upd.reshape(S, B * NR, k))
@@ -753,9 +769,9 @@ class DeviceMF:
             NR = NF - NC
             ccol, crow = bufs[m.ccol], bufs[m.crow]
             seg = jnp.take(ytop, ccol, axis=0)  # (B, NC, k)
-            z, w = self._fwd(fac, seg)
+            z, w = self._fwd(fac, seg, tr)
             ytop = ytop.at[ccol.reshape(-1)].set(z.reshape(B * NC, k))
-            upd = jnp.matmul(self._l21(fac), w,
+            upd = jnp.matmul(self._l21(fac, tr), w,
                              precision=jax.lax.Precision.HIGHEST)
             ytop = ytop.at[crow.reshape(-1)].add(-upd.reshape(B * NR, k))
             ytop = ytop.at[n].set(0.0)
@@ -766,7 +782,7 @@ class DeviceMF:
             ccol, crow = bufs[m.ccol], bufs[m.crow]
             rhs = jnp.take(ytop, ccol, axis=0)
             xr = jnp.take(ytop, crow, axis=0)
-            x = self._bwd(fac, rhs, xr)
+            x = self._bwd(fac, rhs, xr, tr)
             ytop = ytop.at[ccol.reshape(-1)].set(x.reshape(B * NC, k))
             ytop = ytop.at[n].set(0.0)
         xtop = jnp.zeros((n + 1, k), dt)
@@ -782,7 +798,7 @@ class DeviceMF:
             rhs = takeS(zloc, ccol).reshape(S * B, NC, k)
             xr = takeS(xloc, crow).reshape(S * B, NF - NC, k)
             facf = tuple(x.reshape((S * B,) + x.shape[2:]) for x in fac)
-            x = self._bwd(facf, rhs, xr)
+            x = self._bwd(facf, rhs, xr, tr)
             xloc = setS(xloc, ccol.reshape(S, B * NC),
                         x.reshape(S, B * NC, k))
             xloc = xloc.at[:, n].set(0.0)
@@ -796,13 +812,15 @@ class DeviceMF:
         return self._factor_jit(self._bufs, jnp.asarray(Avals),
                                 jnp.asarray(eps, self.dtype))
 
-    def solve(self, factors, b):
+    def solve(self, factors, b, transpose: bool = False):
         loc, top, _ = factors
         b = jnp.asarray(b)
         squeeze = b.ndim == 1
         if squeeze:
             b = b[:, None]
-        x = self._solve_jit(self._bufs, loc, top, b)
+        # chol/ldl are symmetric: transpose == plain solve
+        tr = bool(transpose) and self.kind == "lu"
+        x = self._solve_jit(self._bufs, loc, top, b, tr)
         return x[:, 0] if squeeze else x
 
 
@@ -818,10 +836,18 @@ class DeviceFactorization:
         self.A = A
         self.backend = A.backend
         self.structural_hash = A.hash
+        iscomplex = np.issubdtype(np.dtype(A.dtype), np.complexfloating)
+        if iscomplex and kind == "chol":
+            raise ValueError("device Cholesky is real-SPD only; use "
+                             "kind='ldl' for complex-symmetric systems")
         if dtype is None:
             platform = A.backend.mesh.devices.flat[0].platform
-            dtype = np.float64 if (platform == "cpu" and
-                                   jax.config.jax_enable_x64) else np.float32
+            if platform == "cpu" and jax.config.jax_enable_x64:
+                dtype = np.complex128 if iscomplex else np.float64
+            else:
+                # NOTE: complex dtypes are UNIMPLEMENTED on the current TPU
+                # generation; complex device solves run on the CPU mesh
+                dtype = np.complex64 if iscomplex else np.float32
         self.dtype = np.dtype(dtype)
         self.kind = kind
 
@@ -863,10 +889,6 @@ class DeviceFactorization:
 
         if self.factors is None:
             raise RuntimeError("factorization was finalized")
-        if transpose and self.kind == "lu":
-            raise NotImplementedError(
-                "transpose solve on the device LU path is not implemented; "
-                "use the host factorization (hl.lu(A).solve(b, transpose=True))")
         if refine is None:
             refine = 1 if self.n_perturbed == 0 else 2
         is_dist = isinstance(b, DistVector)
@@ -874,7 +896,7 @@ class DeviceFactorization:
             bg = allgather_full(b.data, b.partition, self.backend)
         else:
             bg = jnp.asarray(np.asarray(b))
-        x = self.engine.solve(self.factors, bg)
+        x = self.engine.solve(self.factors, bg, transpose=transpose)
         if refine and is_dist:
             # iterative refinement with DEVICE residuals through the
             # distributed SpMV — compensates static-pivot perturbations
@@ -882,10 +904,11 @@ class DeviceFactorization:
                 scatter_from_full(x.astype(b.dtype), self.A.row_partition,
                                   self.backend),
                 self.A.row_partition, self.backend)
+            Aop = self.A.T if transpose else self.A
             for _ in range(refine):
-                r = b - self.A @ xd
+                r = b - Aop @ xd
                 rg = allgather_full(r.data, r.partition, self.backend)
-                dx = self.engine.solve(self.factors, rg)
+                dx = self.engine.solve(self.factors, rg, transpose=transpose)
                 x = x + dx
                 xd = DistVector(
                     scatter_from_full(x.astype(b.dtype),
@@ -904,14 +927,12 @@ class DeviceFactorization:
         from ..dense import DistDenseMatrix
         from ..parallel.mesh import allgather_full, scatter_from_full
 
-        if transpose and self.kind == "lu":
-            raise NotImplementedError("transpose solve on device LU")
         is_dist = isinstance(B, DistDenseMatrix)
         if is_dist:
             Bg = allgather_full(B.data, B.row_partition, self.backend)
         else:
             Bg = jnp.asarray(np.asarray(B))
-        X = self.engine.solve(self.factors, Bg)
+        X = self.engine.solve(self.factors, Bg, transpose=transpose)
         if is_dist:
             return DistDenseMatrix(
                 scatter_from_full(X, self.A.row_partition, self.backend),

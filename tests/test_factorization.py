@@ -294,7 +294,8 @@ def test_device_ldlt(be4):
 
 
 def test_device_lu(be4):
-    """Distributed device LU on an unsymmetric perturbation."""
+    """Distributed device LU on an unsymmetric perturbation, incl. the
+    transpose solve (Aᵀ = Uᵀ Lᵀ wave sweeps)."""
     rng = np.random.default_rng(105)
     A = (laplace2d(7) + sp.random(49, 49, 0.05, random_state=rng)).tocsr()
     b = rand_vector(49)
@@ -302,6 +303,26 @@ def test_device_lu(be4):
     F = hl.lu(Ad, method="device")
     x = F.solve(hl.DistVector.from_global(b, be4))
     assert _resid(A, x.to_numpy(), b) < 1e-8
+    xt = F.solve(hl.DistVector.from_global(b, be4), transpose=True)
+    assert np.linalg.norm(A.T @ xt.to_numpy() - b) / np.linalg.norm(b) < 1e-8
+
+
+def test_device_ldl_complex_symmetric(be4):
+    """Complex-symmetric device LDL on the CPU mesh (complex is
+    UNIMPLEMENTED on the current TPU generation; the engine itself is
+    dtype-generic — plain-transpose LDL, no conjugation)."""
+    A = (laplace2d(6).astype(np.complex128) + 0.4j * sp.eye(36)).tocsr()
+    bez = be4.with_dtype(np.complex128)
+    Ad = hl.DistSparseMatrix.from_scipy(A, bez, dtype=np.complex128)
+    b = rand_vector(36, np.complex128)
+    bd = hl.DistVector.from_global(b, bez, dtype=np.complex128)
+    F = hl.ldlt(Ad, method="device")
+    x = F.solve(bd)
+    assert np.linalg.norm(A @ x.to_numpy() - b) / np.linalg.norm(b) < 1e-10
+    import pytest
+
+    with pytest.raises(ValueError):
+        hl.ldlt(Ad, method="device", spd=True)  # chol is real-SPD only
 
 
 def test_device_multi_rhs(be4):
