@@ -268,29 +268,39 @@ def _csr_values(A) -> np.ndarray:
     return vals
 
 
-def ldlt(A, method: str = "host", spd: bool = False):
+def _resolve_method(A, method):
+    """None -> the backend's solver selection (ref: the Solver type
+    parameter of HPCBackend routes ``A \\ b`` to MUMPS or cuDSS)."""
+    if method is not None:
+        return method
+    return "device" if getattr(A.backend, "solver", "") == "device" else "host"
+
+
+def ldlt(A, method: str | None = None, spd: bool = False):
     """Ref: ldlt (mumps_factorization.jl:259). Symmetric (possibly complex-
-    symmetric) LDLᵀ with static pivoting. ``method="device"`` selects the
-    mesh-distributed device-resident multifrontal engine
-    (solver/device_mf.py; the cuDSS-MGMN analogue, CUDAExt:602-710) —
-    indefinite systems use the blocked unpivoted LDL kernel; ``spd=True``
-    opts into the faster Cholesky kernel."""
+    symmetric) LDLᵀ with static pivoting. ``method="device"`` (or a backend
+    built with ``solver="device"``) selects the mesh-distributed
+    device-resident multifrontal engine (solver/device_mf.py; the
+    cuDSS-MGMN analogue, CUDAExt:602-710) — indefinite systems use the
+    blocked unpivoted LDL kernel; ``spd=True`` opts into the faster
+    Cholesky kernel."""
     if A.m != A.ncols:
         raise ValueError("ldlt requires a square matrix")
-    if method == "device":
+    if _resolve_method(A, method) == "device":
         from .device_mf import DeviceFactorization
 
         return DeviceFactorization(A, kind="chol" if spd else "ldl")
     return Factorization(A, "ldlt")
 
 
-def lu(A, method: str = "host"):
+def lu(A, method: str | None = None):
     """Ref: lu (mumps_factorization.jl:242). Unsymmetric LU on the
     symmetrized pattern with static pivoting + refinement. ``method=
-    "device"`` runs the distributed device multifrontal LU."""
+    "device"`` (or ``solver="device"`` backends) runs the distributed
+    device multifrontal LU."""
     if A.m != A.ncols:
         raise ValueError("lu requires a square matrix")
-    if method == "device":
+    if _resolve_method(A, method) == "device":
         from .device_mf import DeviceFactorization
 
         return DeviceFactorization(A, kind="lu")
@@ -315,12 +325,20 @@ class BackslashCache:
         # key includes the matrix's VALUE dtype: a complex-valued matrix on a
         # real-valued pattern twin must not hit the real factorization (the
         # reference dispatches on a single T, HPCLinearAlgebra.jl:643-744)
+        solver = getattr(A.backend, "solver", "multifrontal")
         key = (A.hash, kind, str(np.dtype(A.dtype)),
-               str(np.dtype(A.backend.dtype)))
+               str(np.dtype(A.backend.dtype)), solver)
         c = BackslashCache._cache()
         F = c.get(key)
         if F is None:
-            F = Factorization(A, kind)
+            if solver == "device":
+                # backend-selected device engine (ref: SolverCuDSS backends
+                # route the backslash to cuDSS, CUDAExt:779-885)
+                from .device_mf import DeviceFactorization
+
+                F = DeviceFactorization(A, kind="ldl" if symmetric else "lu")
+            else:
+                F = Factorization(A, kind)
             c[key] = F
             F._vals_ref = A.nzval
         else:

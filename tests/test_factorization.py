@@ -325,6 +325,31 @@ def test_device_ldl_complex_symmetric(be4):
         hl.ldlt(Ad, method="device", spd=True)  # chol is real-SPD only
 
 
+def test_backend_solver_device_routing(be4):
+    """A backend built with solver='device' routes lu/ldlt/backslash to the
+    distributed device engine (ref: the Solver type parameter dispatches
+    A \\ b to MUMPS vs cuDSS)."""
+    from dataclasses import replace
+
+    from hpclinalg.solver.device_mf import DeviceFactorization
+
+    bed = replace(be4, solver="device")
+    A = laplace2d(6)
+    Ad = hl.DistSparseMatrix.from_scipy(A, bed)
+    F = hl.ldlt(Ad)
+    assert isinstance(F, DeviceFactorization)
+    b = rand_vector(36)
+    bd = hl.DistVector.from_global(b, bed)
+    x = hl.solve(Ad, bd)
+    assert _resid(A, x.to_numpy(), b) < 1e-10
+    # same pattern, new values -> refactorize-only hit on the device engine
+    x2 = hl.solve(Ad * 2.0, bd)
+    assert np.linalg.norm(2 * (A @ x2.to_numpy()) - b) / np.linalg.norm(b) < 1e-10
+    # host backend still routes to the host engine
+    assert isinstance(hl.ldlt(hl.DistSparseMatrix.from_scipy(A, be4)),
+                      hl.Factorization)
+
+
 def test_device_multi_rhs(be4):
     """Batched multi-RHS device solve in one wave sweep."""
     A = laplace2d(7)
