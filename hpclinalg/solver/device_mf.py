@@ -220,6 +220,14 @@ class DeviceMF:
         perm = amd_order(A_csr.indptr.astype(np.int64),
                          A_csr.indices.astype(np.int64), n)
         sym = symbolic.analyze(A_csr, perm)
+        # device-tuned amalgamation for scatter-bound (low arithmetic
+        # intensity, 2D-stencil-class) trees: merge harder — explicit-zero
+        # flops are cheap on the MXU, scatter elements and wave levels are
+        # not (measured n=262k 2D: 665 -> 553 ms steady). Flop-dominated 3D
+        # trees (high flops/lnz) keep the lean host setting.
+        if sym.lnz and sym.flops / sym.lnz < 3000:
+            sym = symbolic.analyze(A_csr, perm, relax=64, zeros_frac=0.5,
+                                   small=64)
         self.sym = sym
         ns = sym.nsuper
         ptr, rows_of = sym.snode_ptr, sym.snode_rows

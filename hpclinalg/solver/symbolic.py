@@ -185,13 +185,19 @@ def _finish(n, perm2, parent, snode_ptr, snode_rows) -> SymbolicFactor:
     )
 
 
-def analyze(A_csr: sp.csr_matrix, perm: np.ndarray, relax: int = 16) -> SymbolicFactor:
-    """Full symbolic analysis of P A Pᵀ — native path with Python fallback."""
+def analyze(A_csr: sp.csr_matrix, perm: np.ndarray, relax: int = 16,
+            zeros_frac: float = 0.3, small: int = 16) -> SymbolicFactor:
+    """Full symbolic analysis of P A Pᵀ — native path with Python fallback.
+
+    ``relax``/``zeros_frac``/``small`` tune the supernode amalgamation:
+    the defaults suit the 1-core BLAS host engine; the device engine uses
+    heavier merging (fewer, larger fronts: explicit-zero flops are cheap
+    on the MXU, scatter elements and wave levels are not)."""
     from .native import load_sym
 
     lib = load_sym()
     if lib is None:
-        return analyze_python(A_csr, perm, relax)
+        return analyze_python(A_csr, perm, relax, zeros_frac, small)
     n = A_csr.shape[0]
     if n == 0:
         return _finish(0, perm, np.zeros(0, np.int64), np.array([0]), [])
@@ -212,7 +218,8 @@ def analyze(A_csr: sp.csr_matrix, perm: np.ndarray, relax: int = 16) -> Symbolic
     below_orig = below.copy()
 
     starts = _fundamental_starts(parent, below, n)
-    snode_ptr = _amalgamate(starts, parent, below, n, relax)
+    snode_ptr = _amalgamate(starts, parent, below, n, relax,
+                            zeros_frac=zeros_frac, small=small)
     nsuper = len(snode_ptr) - 1
     snode_of = np.zeros(n, dtype=np.int64)
     for k in range(nsuper):
@@ -229,8 +236,8 @@ def analyze(A_csr: sp.csr_matrix, perm: np.ndarray, relax: int = 16) -> Symbolic
     return _finish(n, perm2, parent, snode_ptr, snode_rows)
 
 
-def analyze_python(A_csr: sp.csr_matrix, perm: np.ndarray,
-                   relax: int = 16) -> SymbolicFactor:
+def analyze_python(A_csr: sp.csr_matrix, perm: np.ndarray, relax: int = 16,
+                   zeros_frac: float = 0.3, small: int = 16) -> SymbolicFactor:
     """Pure-Python symbolic analysis (fallback + validation oracle)."""
     n = A_csr.shape[0]
     ip, ix = _permuted_pattern(A_csr, perm)
@@ -255,7 +262,8 @@ def analyze_python(A_csr: sp.csr_matrix, perm: np.ndarray,
     below = np.array([len(s) for s in col_struct], dtype=np.int64)
 
     starts = _fundamental_starts(par, below, n)
-    snode_ptr = _amalgamate(starts, par, below, n, relax)
+    snode_ptr = _amalgamate(starts, par, below, n, relax,
+                            zeros_frac=zeros_frac, small=small)
     nsuper = len(snode_ptr) - 1
     snode_rows = []
     for k in range(nsuper):
