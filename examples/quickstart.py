@@ -46,9 +46,28 @@ print("A' @ A         max err:", abs(D.to_scipy() - A_host.T @ A_host).max())
 S = A + A.T.materialize()
 F = hl.ldlt(S)
 b = hl.DistVector.from_global(rng.standard_normal(1000), be)
+b2 = hl.DistVector.from_global(rng.standard_normal(1024), be)
 u = F.solve(b)
 res = np.linalg.norm((A_host + A_host.T) @ u.to_numpy() - b.to_numpy())
 print("ldlt solve     residual:", res / np.linalg.norm(b.to_numpy()))
 
 v = hl.solve(S, b)  # the A \ b analogue (cached)
 print("backslash      plans:", sum(hl.cache_sizes().values()), "cached")
+
+# mesh-distributed device multifrontal (the cuDSS-MGMN analogue): per-shard
+# subtree waves on the MXU, RHS on device end-to-end. A stencil system
+# keeps this quickstart-fast (PDE-class patterns are its home turf).
+T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(32, 32))
+I32 = sp.eye(32)
+P_host = (sp.kron(I32, T) + sp.kron(T, I32) + 0.5 * sp.eye(1024)).tocsr()
+P = hl.DistSparseMatrix.from_scipy(P_host, be)
+G = hl.ldlt(P, method="device")
+w = G.solve(b2)
+res = np.linalg.norm(P_host @ w.to_numpy() - b2.to_numpy())
+print("device ldlt    residual:", res / np.linalg.norm(b2.to_numpy()))
+
+# right division and row-vector algebra
+rt = b2.T / P
+print("right division residual:",
+      np.linalg.norm(P_host.T @ rt.T.to_numpy() - b2.to_numpy())
+      / np.linalg.norm(b2.to_numpy()))

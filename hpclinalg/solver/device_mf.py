@@ -303,6 +303,16 @@ class DeviceMF:
                 raise ValueError(
                     "front batch exceeds int32 index space "
                     f"(B={m.B}, NF={m.NF})")
+        # deep chain trees (banded matrices) make the wave schedule
+        # sequential: each level is one unrolled stage of the jit, so
+        # hundreds of levels explode trace/compile time and run serially
+        # anyway — the host engine is the right tool there
+        if len(self.local_levels) + len(self.top_levels) > 128:
+            raise ValueError(
+                f"elimination tree too deep for the device wave schedule "
+                f"({len(self.local_levels)} local + {len(self.top_levels)} "
+                "top levels; banded/chain-structured patterns serialize) — "
+                "use the host engine (method='host')")
 
         # -- assembly maps: A entries (global CSR order) -> front slots ------
         # the gathered distributed nzval (concat of contiguous row shards,

@@ -135,6 +135,35 @@ def test_solve_with_asymmetric_partition(be4):
     assert _resid(A, x.to_numpy(), b) < 1e-10
 
 
+def test_device_rejects_chain_trees(be4):
+    """Banded/chain patterns serialize the wave schedule (one level per
+    supernode) — the engine refuses with a clear pointer to the host path
+    instead of compiling a thousand-stage jit."""
+    import pytest
+
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(4000, 4000)).tocsr()
+    Ad = hl.DistSparseMatrix.from_scipy(T, be4)
+    with pytest.raises(ValueError, match="host"):
+        hl.ldlt(Ad, method="device")
+    # the host engine handles it fine
+    b = rand_vector(4000)
+    x = hl.ldlt(Ad).solve(hl.DistVector.from_global(b, be4))
+    assert _resid(T, x.to_numpy(), b) < 1e-10
+
+
+def test_device_solve_asymmetric_partition(be4):
+    """Device engine with a non-uniform row partition: the RHS gather and
+    solution scatter must follow the matrix's actual partition."""
+    A = laplace2d(6)
+    rp = np.array([0, 3, 20, 30, 36])
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4, row_partition=rp)
+    b = rand_vector(36)
+    bd = hl.DistVector.from_global(b, be4)  # uniform partition on purpose
+    x = hl.ldlt(Ad, method="device").solve(bd)
+    assert _resid(A, x.to_numpy(), b) < 1e-10
+    assert np.array_equal(x.partition, rp)
+
+
 def test_finalize(be4):
     import pytest
 
