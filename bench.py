@@ -165,7 +165,7 @@ def main():
         b2 = hl.DistVector.from_global(
             np.random.default_rng(3).standard_normal(k2 * k2), be,
             dtype=np.float32)
-        ts_ = _median_ms(lambda: Fd.solve(b2, refine=0), sync, n=3)
+        ts_ = _amortized_ms(lambda: Fd.solve(b2, refine=0), sync, K=4)
         extras["device_solve_262k_ms"] = round(ts_, 1)
     except Exception as e:  # keep the headline robust
         extras["device_factor_error"] = str(e)[:200]
