@@ -105,19 +105,36 @@ def main():
     resid = np.linalg.norm(A @ x.to_numpy() - bh) / np.linalg.norm(bh)
     assert resid < 1e-5, f"solve inaccurate: {resid}"
 
+    def _chain_ms(step, x0, K):
+        """Per-op time with K applications chained INSIDE one jit: exactly
+        one dispatch + one readback, immune to relay-RTT variance."""
+        chain = jax.jit(lambda y: jax.lax.fori_loop(
+            0, K, lambda i, v: step(v), y))
+        sync(chain(x0))  # compile + warm
+        t0 = time.perf_counter()
+        sync(chain(x0))
+        t1 = time.perf_counter()
+        sync(x0)
+        rtt = time.perf_counter() - t1
+        return float(max((t1 - t0) - rtt, (t1 - t0) / 2) / K * 1e3)
+
     # ---- SpMV, stencil pattern (DIA engine), n=1M ------------------------
     n1 = 1_000_000
     As = laplace2d(1000, np.float32)
     Asd = hl.DistSparseMatrix.from_scipy(As, be, dtype=np.float32)
     xs = hl.DistVector.from_global(
         np.random.default_rng(1).standard_normal(n1), be, dtype=np.float32)
-    t = _amortized_ms(lambda: Asd @ xs, sync)
-    # one pass over the diagonal table (O densities) + x + y
-    from hpclinalg.ops.spmv import get_spmv_plan
+    _ = Asd @ xs  # build + cache the plan
+    from hpclinalg.ops.spmv import (_dia_exec, _dia_values, _local_spmv,
+                                    get_spmv_plan)
 
     plan = get_spmv_plan(Asd, xs)
-    O = len(plan.offsets) if plan.offsets else 0
-    traffic = (O * n1 + 2 * n1) * 4  # bytes
+    dval = _dia_values(Asd, plan)
+    ex = _dia_exec(plan.offsets, Asd.structure.Lrow, plan.bias_lo,
+                   plan.bias_hi, pad_to=plan.exchange.out_pad)
+    t = _chain_ms(lambda v: ex(dval, v) * 0.125, xs.data, K=64)
+    O = len(plan.offsets)
+    traffic = (O * n1 + 2 * n1) * 4  # one pass over dia table + x + y
     gbs = traffic / (t / 1e3) / 1e9
     extras["spmv_stencil_1m_ms"] = round(t, 3)
     extras["spmv_stencil_gbs"] = round(gbs, 1)
@@ -132,11 +149,47 @@ def main():
                         (rows, cols)), shape=(n1, n1))
     Ar.sum_duplicates()
     Ard = hl.DistSparseMatrix.from_scipy(Ar, be, dtype=np.float32)
-    tr = _amortized_ms(lambda: Ard @ xs, sync, K=8)
+    _ = Ard @ xs
+    rplan = get_spmv_plan(Ard, xs)
+    str_ = Ard.structure
+    Gpad = rplan.exchange.out_pad
+    nz, cv, ri = Ard.nzval, str_.colval_dev, str_.row_ids_dev
+
+    def rstep(v):
+        L = v.shape[1]
+        g = v[:, :Gpad] if Gpad <= L else jnp.pad(v, ((0, 0), (0, Gpad - L)))
+        return _local_spmv(nz, cv, ri, g, str_.Lrow) * 0.125
+
+    tr = _chain_ms(rstep, xs.data, K=8)
     extras["spmv_random_1m_ms"] = round(tr, 3)
     extras["spmv_random_melems_s"] = round(Ar.nnz / (tr / 1e3) / 1e6, 1)
     rgbs = (Ar.nnz * 8 + 2 * n1 * 4) / (tr / 1e3) / 1e9  # nzval+cols + x + y
     extras["spmv_random_hbm_frac"] = round(rgbs / HBM_PEAK_GBS, 3)
+
+    # ---- SpMV via the Pallas DIA kernel, n=4M (its policy regime) --------
+    try:
+        from hpclinalg.ops.pallas_dia import (_pallas_dia_fn,
+                                              dia_table_padded,
+                                              pallas_available)
+
+        n4 = 4_000_000
+        A4 = laplace2d(2000, np.float32)
+        A4d = hl.DistSparseMatrix.from_scipy(A4, be, dtype=np.float32)
+        x4 = hl.DistVector.from_global(
+            np.random.default_rng(4).standard_normal(n4), be,
+            dtype=np.float32)
+        p4 = get_spmv_plan(A4d, x4)
+        if pallas_available(A4d.backend, A4d.structure.Lrow) and p4.offsets:
+            L4 = int(x4.data.shape[1])
+            fn4, npad4 = _pallas_dia_fn(p4.offsets, A4d.structure.Lrow, L4)
+            tbl4 = dia_table_padded(A4d, p4, npad4)
+            t4 = _chain_ms(lambda v: fn4(tbl4, v) * 0.125, x4.data, K=64)
+            g4 = (len(p4.offsets) * n4 + 2 * n4) * 4 / (t4 / 1e3) / 1e9
+            extras["spmv_pallas_4m_ms"] = round(t4, 3)
+            extras["spmv_pallas_gbs"] = round(g4, 1)
+            extras["spmv_pallas_hbm_frac"] = round(g4 / HBM_PEAK_GBS, 3)
+    except Exception as e:
+        extras["spmv_pallas_error"] = str(e)[:200]
 
     # ---- SpGEMM A*A, n=10k stencil (DIA tier) ----------------------------
     Af = hl.DistSparseMatrix.from_scipy(laplace2d(100, np.float32), be,
