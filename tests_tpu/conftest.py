@@ -26,7 +26,15 @@ def _tpu_available():
     try:
         import jax
 
-        return jax.devices()[0].platform not in ("cpu",)
+        ok = jax.devices()[0].platform not in ("cpu",)
+        if ok:
+            # persistent compile cache: first-compile through the remote
+            # service is minutes; reruns of the lane become seconds
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/hpclinalg_xla_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        return ok
     except Exception:
         return False
 

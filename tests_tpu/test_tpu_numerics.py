@@ -85,3 +85,36 @@ def test_device_multifrontal_f32(be1):
     F = hl.ldlt(Ad, method="device", spd=True)
     x = F.solve(bd)
     assert _rel(A @ x.to_numpy(), b) < 1e-4
+
+
+def test_device_ldl_indefinite_f32(be1):
+    """The blocked unpivoted LDL kernel on-chip (indefinite shift)."""
+    A = (laplace2d(32) - 2.3 * sp.eye(1024)).tocsr()
+    b = np.random.default_rng(6).standard_normal(1024).astype(np.float32)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be1, dtype=np.float32)
+    bd = hl.DistVector.from_global(b, be1, dtype=np.float32)
+    x = hl.ldlt(Ad, method="device").solve(bd)
+    assert _rel(A @ x.to_numpy(), b) < 1e-3
+
+
+def test_spgemm_chunked_guard_f32(be1):
+    """The PAIR_CAP chunked SpGEMM path on-chip (bounded device tables)."""
+    import warnings
+
+    import hpclinalg.ops.spgemm as sg
+
+    rng = np.random.default_rng(7)
+    A = sp.random(2000, 2000, 0.02, format="csr",
+                  random_state=rng).astype(np.float32)
+    old = sg.PAIR_CAP
+    sg.PAIR_CAP = 1 << 16
+    try:
+        Ad = hl.DistSparseMatrix.from_scipy(A, be1, dtype=np.float32)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            C = Ad @ Ad
+            plan = sg.get_spgemm_plan(Ad, Ad)
+        assert plan.nchunks > 1
+        assert _rel(C.to_scipy().toarray(), (A @ A).toarray()) < 1e-3
+    finally:
+        sg.PAIR_CAP = old
