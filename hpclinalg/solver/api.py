@@ -348,6 +348,13 @@ class BackslashCache:
             if F._vals_ref is not A.nzval:
                 F.refactorize(A)
                 F._vals_ref = A.nzval
+        from ..dense import DistDenseMatrix
+        from ..vector import DistVector
+
+        if isinstance(b, DistDenseMatrix) or (
+                not isinstance(b, DistVector) and np.ndim(b) == 2):
+            # matrix RHS: A \ B through the blocked multi-RHS sweep
+            return F.solve_matrix(b, transpose=transpose)
         return F.solve(b, transpose=transpose)
 
 

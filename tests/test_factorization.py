@@ -354,6 +354,24 @@ def test_device_ldl_complex_symmetric(be4):
         hl.ldlt(Ad, method="device", spd=True)  # chol is real-SPD only
 
 
+def test_backslash_matrix_rhs(be4):
+    """hl.solve(A, B) with a matrix RHS goes through the blocked multi-RHS
+    sweep (ref: MUMPS multi-RHS backslash)."""
+    rng = np.random.default_rng(109)
+    A = laplace2d(7)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    B = rng.standard_normal((49, 5))
+    X = hl.solve(Ad, hl.DistDenseMatrix.from_global(B, be4))
+    assert np.linalg.norm(A @ X.to_numpy() - B) / np.linalg.norm(B) < 1e-12
+    Xh = hl.solve(Ad, B)  # host-array RHS
+    assert np.linalg.norm(A @ Xh - B) / np.linalg.norm(B) < 1e-12
+    # transpose via lazy-transpose dispatch
+    Au = (A + sp.random(49, 49, 0.05, random_state=rng)).tocsr()
+    Aud = hl.DistSparseMatrix.from_scipy(Au, be4)
+    Xt = hl.solve(Aud.T, B)
+    assert np.linalg.norm(Au.T @ Xt - B) / np.linalg.norm(B) < 1e-12
+
+
 def test_backend_solver_device_routing(be4):
     """A backend built with solver='device' routes lu/ldlt/backslash to the
     distributed device engine (ref: the Solver type parameter dispatches
