@@ -125,8 +125,7 @@ def main():
     xs = hl.DistVector.from_global(
         np.random.default_rng(1).standard_normal(n1), be, dtype=np.float32)
     _ = Asd @ xs  # build + cache the plan
-    from hpclinalg.ops.spmv import (_dia_exec, _dia_values, _local_spmv,
-                                    get_spmv_plan)
+    from hpclinalg.ops.spmv import _dia_exec, _dia_values, get_spmv_plan
 
     plan = get_spmv_plan(Asd, xs)
     dval = _dia_values(Asd, plan)
@@ -140,7 +139,7 @@ def main():
     extras["spmv_stencil_gbs"] = round(gbs, 1)
     extras["spmv_stencil_hbm_frac"] = round(gbs / HBM_PEAK_GBS, 3)
 
-    # ---- SpMV, random pattern (scatter path), n=1M, ~8 nnz/row ----------
+    # ---- SpMV, random pattern (ELL gather + lane-sum), n=1M, 8 nnz/row --
     rng = np.random.default_rng(2)
     nnz_r = 8
     rows = np.repeat(np.arange(n1, dtype=np.int64), nnz_r)
@@ -151,20 +150,27 @@ def main():
     Ard = hl.DistSparseMatrix.from_scipy(Ar, be, dtype=np.float32)
     _ = Ard @ xs
     rplan = get_spmv_plan(Ard, xs)
-    str_ = Ard.structure
-    Gpad = rplan.exchange.out_pad
-    nz, cv, ri = Ard.nzval, str_.colval_dev, str_.row_ids_dev
+    from hpclinalg.ops.spmv import _ell_apply
 
-    def rstep(v):
-        L = v.shape[1]
-        g = v[:, :Gpad] if Gpad <= L else jnp.pad(v, ((0, 0), (0, Gpad - L)))
-        return _local_spmv(nz, cv, ri, g, str_.Lrow) * 0.125
-
-    tr = _chain_ms(rstep, xs.data, K=8)
+    assert rplan.ell, "random 1M pattern should ride the ELL tier"
+    tr = _chain_ms(lambda v: _ell_apply(Ard, rplan, v, spmm=False) * 0.125,
+                   xs.data, K=8)
     extras["spmv_random_1m_ms"] = round(tr, 3)
     extras["spmv_random_melems_s"] = round(Ar.nnz / (tr / 1e3) / 1e6, 1)
     rgbs = (Ar.nnz * 8 + 2 * n1 * 4) / (tr / 1e3) / 1e9  # nzval+cols + x + y
     extras["spmv_random_hbm_frac"] = round(rgbs / HBM_PEAK_GBS, 3)
+
+    # ---- SpMM, random sparse x dense (n,64): row-gather amortization ----
+    try:
+        kB = 64
+        Bw = jnp.asarray(rng.standard_normal((n1, kB)), jnp.float32)[None]
+        tsm = _chain_ms(lambda v: _ell_apply(Ard, rplan, v, spmm=True)
+                        * 0.125, Bw, K=4)
+        extras["spmm_random_1m_k64_ms"] = round(tsm, 3)
+        extras["spmm_random_gelems_s"] = round(
+            Ar.nnz * kB / (tsm / 1e3) / 1e9, 2)
+    except Exception as e:
+        extras["spmm_random_error"] = str(e)[:200]
 
     # ---- SpMV via the Pallas DIA kernel, n=4M (its policy regime) --------
     try:

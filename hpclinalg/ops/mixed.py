@@ -97,6 +97,24 @@ def sparse_times_dense(A, B):
             gathered = plan.exchange.apply(B.data)
             C = _dia_spmm_exec(plan.offsets, st.Lrow, plan.bias_lo,
                                plan.bias_hi)(dval, gathered)
+    elif plan.densify:
+        from .spmv import _dense_block
+
+        blk = _dense_block(A, plan)
+        gathered = B.data if plan.exchange.is_identity \
+            else plan.exchange.apply(B.data)
+        dt = jnp.result_type(blk.dtype, gathered.dtype)
+        G = blk.shape[-1]
+        if gathered.shape[1] < G:
+            gathered = jnp.pad(
+                gathered, ((0, 0), (0, G - gathered.shape[1]), (0, 0)))
+        C = jnp.einsum("slg,sgk->slk", blk.astype(dt),
+                       gathered[:, :G].astype(dt),
+                       precision=jax.lax.Precision.HIGHEST)
+    elif plan.ell:
+        from .spmv import _ell_apply
+
+        C = _ell_apply(A, plan, B.data, spmm=True)
     else:
         gathered = plan.exchange.apply(B.data)  # (S, Gpad, k)
         C = _spmm_local(A.nzval, st.colval_dev, st.row_ids_dev, gathered, st.Lrow)

@@ -131,3 +131,55 @@ def test_adjoint(cfg):
 
 def test_warmup(be4):
     hl.warmup(be4)  # must run every hot path without error
+
+
+def test_spmv_ell_engine(be4, monkeypatch):
+    """Force the ELL(+COO tail) general-sparsity tier (densify threshold to
+    zero) and check it against scipy, including a heavy row that spills into
+    the tail and a complex-valued instance."""
+    import hpclinalg.ops.spmv as spmv_mod
+
+    monkeypatch.setattr(spmv_mod, "DENSE_MAX_ELEMS", 0)
+    rng = np.random.default_rng(7)
+    n = 400
+    A = sp.random(n, n, 0.03, format="lil", random_state=rng)
+    A[5, :200] = rng.standard_normal(200)  # skewed row -> COO tail
+    A = A.tocsr()
+    x = rng.standard_normal(n)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    xv = hl.DistVector.from_global(x, be4)
+    plan = get_spmv_plan(Ad, xv)
+    assert plan.offsets is None and not plan.densify and plan.ell
+    assert plan.ell_Tpad > 0
+    assert_close((Ad @ xv).to_numpy(), A @ x, np.float64)
+    # complex values on the same (cached) plan structure
+    Ac = (A + 1j * sp.random(n, n, 0.0, format="csr")).tocsr()
+    Ac.data = A.data * (1 + 0.5j)
+    Acd = hl.DistSparseMatrix.from_scipy(Ac, be4, dtype=np.complex128)
+    assert_close((Acd @ xv).to_numpy(), Ac @ x, np.complex128)
+
+
+def test_spmm_ell_and_densify_engines(be4, monkeypatch):
+    """sparse x dense through the ELL row-gather tier and the densified MXU
+    tier, vs scipy."""
+    import hpclinalg.ops.spmv as spmv_mod
+
+    rng = np.random.default_rng(11)
+    n, k = 300, 9
+    A = sp.random(n, n, 0.04, format="csr", random_state=rng)
+    B = rng.standard_normal((n, k))
+    ref = A @ B
+    # densify tier (default for this size)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    Bd = hl.DistDenseMatrix.from_global(B, be4)
+    C = Ad @ Bd
+    p = get_spmv_plan(Ad, hl.DistVector.from_global(B[:, 0], be4))
+    assert p.densify
+    assert_close(C.to_numpy(), ref, np.float64)
+    # ELL tier (force it; fresh pattern so the cached plan isn't reused)
+    monkeypatch.setattr(spmv_mod, "DENSE_MAX_ELEMS", 0)
+    A2 = sp.random(n, n, 0.04, format="csr",
+                   random_state=np.random.default_rng(12))
+    A2d = hl.DistSparseMatrix.from_scipy(A2, be4)
+    C2 = A2d @ Bd
+    assert_close(C2.to_numpy(), A2 @ B, np.float64)
