@@ -117,6 +117,8 @@ def v_to_int_host(key) -> np.ndarray:
     _gather_vector_to_all, indexing.jl:1821)."""
     arr = key.to_numpy()
     if not np.issubdtype(arr.dtype, np.integer):
+        if np.issubdtype(arr.dtype, np.complexfloating):
+            arr = arr.real  # index vectors on a complex backend store Re+0j
         arr = arr.astype(np.int64)
     return arr
 

@@ -45,6 +45,19 @@ from .ordering import amd_order
 
 _PERT_REL = 1e-10  # relative static-pivot perturbation (matches host engine)
 
+# Matmul precision for the numeric kernels. On TPU, f32 matmuls are built
+# from bf16 MXU passes: HIGHEST = 6 passes (full f32), HIGH = 3 passes
+# (~2^-21 relative error, ~2x faster). The engine runs HIGH for f32 —
+# the iterative refinement in the wrapper recovers full accuracy — and
+# HIGHEST for f64/complex (CPU mesh, where passes don't apply anyway).
+MM_PRECISION = "high"
+
+
+def _mm_prec(dt=None):
+    if dt is not None and np.dtype(dt).itemsize > 4:
+        return jax.lax.Precision.HIGHEST
+    return getattr(jax.lax.Precision, MM_PRECISION.upper())
+
 # Extend-add engine: True routes child->parent update assembly through
 # selection-matrix matmuls (P @ U @ P^T with one-hot P built on device from
 # the parent-slot table) on the MXU; False uses the element-wise scatter
@@ -175,7 +188,7 @@ def batched_ldl(F, eps):
              unit_diagonal=True)
     L21 = W / d1[:, None, :]
     S22 = F22 - jnp.matmul(L21, jnp.swapaxes(W, 1, 2),
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_mm_prec(F.dtype))
     L22, d2, p2 = batched_ldl(S22, eps)
     B = F.shape[0]
     top = jnp.concatenate([L11, jnp.zeros((B, k, n - k), F.dtype)], axis=2)
@@ -197,7 +210,7 @@ def batched_lu(F, eps):
     L11, U11, p1 = batched_lu(F11, eps)
     U12 = _tri(L11, F12, left_side=True, lower=True, unit_diagonal=True)
     L21 = _tri(U11, F21, left_side=False, lower=False)
-    S22 = F22 - jnp.matmul(L21, U12, precision=jax.lax.Precision.HIGHEST)
+    S22 = F22 - jnp.matmul(L21, U12, precision=_mm_prec(F.dtype))
     L22, U22, p2 = batched_lu(S22, eps)
     B = F.shape[0]
     zt = jnp.zeros((B, k, n - k), F.dtype)
@@ -631,7 +644,7 @@ class DeviceMF:
             L11 = jax.lax.linalg.cholesky(F11, symmetrize_input=False)
             L21 = _tri(L11, F21, left_side=False, lower=True, transpose_a=True)
             U = F22 - jnp.matmul(L21, jnp.swapaxes(L21, 1, 2),
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 precision=_mm_prec(F.dtype))
             return (L11, L21), U, jnp.zeros((), jnp.int32)
         if self.kind == "ldl":
             L11, d, npert = batched_ldl(F11, eps)
@@ -639,14 +652,14 @@ class DeviceMF:
                      unit_diagonal=True)
             L21 = W / d[:, None, :]
             U = F22 - jnp.matmul(L21, jnp.swapaxes(W, 1, 2),
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 precision=_mm_prec(F.dtype))
             return (L11, d, L21), U, npert
         # lu
         F12 = F[:, :NC, NC:]
         L11, U11, npert = batched_lu(F11, eps)
         U12 = _tri(L11, F12, left_side=True, lower=True, unit_diagonal=True)
         L21 = _tri(U11, F21, left_side=False, lower=False)
-        U = F22 - jnp.matmul(L21, U12, precision=jax.lax.Precision.HIGHEST)
+        U = F22 - jnp.matmul(L21, U12, precision=_mm_prec(F.dtype))
         return (L11, U11, L21, U12), U, npert
 
     def _factor_impl(self, bufs, Avals, eps):
@@ -786,21 +799,21 @@ class DeviceMF:
         if self.kind == "chol":
             L11, L21 = fac
             t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 precision=_mm_prec(rhs.dtype))
             return _tri(L11, t, left_side=True, lower=True, transpose_a=True)
         if self.kind == "ldl":
             L11, _d, L21 = fac
             t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 precision=_mm_prec(rhs.dtype))
             return _tri(L11, t, left_side=True, lower=True, transpose_a=True,
                         unit_diagonal=True)
         L11, U11, L21, U12 = fac
         if tr:  # Lᵀ x = z
             t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 precision=_mm_prec(rhs.dtype))
             return _tri(L11, t, left_side=True, lower=True, transpose_a=True,
                         unit_diagonal=True)
-        t = rhs - jnp.matmul(U12, xr, precision=jax.lax.Precision.HIGHEST)
+        t = rhs - jnp.matmul(U12, xr, precision=_mm_prec(rhs.dtype))
         return _tri(U11, t, left_side=True, lower=False)
 
     def _l21(self, fac, tr=False):
@@ -842,7 +855,7 @@ class DeviceMF:
             zloc = setS(zloc, ccol.reshape(S, B * NC),
                         z.reshape(S, B * NC, k))
             upd = jnp.matmul(self._l21(facf, tr), w,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=_mm_prec(w.dtype))
             contrib = addS(contrib, crow.reshape(S, B * NR),
                            -upd.reshape(S, B * NR, k))
             contrib = contrib.at[:, n].set(0.0)
@@ -858,7 +871,7 @@ class DeviceMF:
             z, w = self._fwd(fac, seg, tr)
             ytop = ytop.at[ccol.reshape(-1)].set(z.reshape(B * NC, k))
             upd = jnp.matmul(self._l21(fac, tr), w,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=_mm_prec(w.dtype))
             ytop = ytop.at[crow.reshape(-1)].add(-upd.reshape(B * NR, k))
             ytop = ytop.at[n].set(0.0)
 

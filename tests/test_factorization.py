@@ -422,3 +422,28 @@ def test_device_distributed_top_tree(be4):
     b = rand_vector(256)
     x = F.solve(hl.DistVector.from_global(b, be4))
     assert _resid(A, x.to_numpy(), b) < 1e-10
+
+
+def test_device_extend_add_engines_agree(be4):
+    """The selection-matmul extend-add must produce the same factorization
+    as the element-wise scatter path (same problem, both engines, identical
+    residuals to fp roundoff) — including a cross-shard top set."""
+    import hpclinalg.solver.device_mf as dmf
+
+    A = laplace2d(20)  # n=400, deep enough for local+top levels on 4 shards
+    b = rand_vector(400)
+    xs = []
+    old = dmf.EA_MATMUL
+    try:
+        for flag in (False, True):
+            dmf.EA_MATMUL = flag
+            hl.clear_plan_cache()
+            Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+            F = hl.ldlt(Ad, method="device")
+            xs.append(F.solve(hl.DistVector.from_global(b, be4)).to_numpy())
+            F.finalize()
+    finally:
+        dmf.EA_MATMUL = old
+        hl.clear_plan_cache()
+    assert np.allclose(xs[0], xs[1], rtol=1e-12, atol=1e-12)
+    assert _resid(A, xs[1], b) < 1e-10

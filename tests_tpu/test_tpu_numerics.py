@@ -118,3 +118,52 @@ def test_spgemm_chunked_guard_f32(be1):
         assert _rel(C.to_scipy().toarray(), (A @ A).toarray()) < 1e-3
     finally:
         sg.PAIR_CAP = old
+
+
+def test_spmv_ell_on_chip(be1, monkeypatch):
+    """The ELL(+tail) general-sparsity engine on the real chip, with a
+    skewed row spilling into the COO tail."""
+    import hpclinalg.ops.spmv as spmv_mod
+
+    monkeypatch.setattr(spmv_mod, "DENSE_MAX_ELEMS", 0)
+    rng = np.random.default_rng(5)
+    n = 2000
+    A = sp.random(n, n, 0.004, format="lil", random_state=rng)
+    A[11, :900] = rng.standard_normal(900)
+    A = A.tocsr().astype(np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be1, dtype=np.float32)
+    xv = hl.DistVector.from_global(x, be1, dtype=np.float32)
+    from hpclinalg.ops.spmv import get_spmv_plan
+
+    p = get_spmv_plan(Ad, xv)
+    assert p.ell and p.ell_Tpad > 0
+    assert _rel((Ad @ xv).to_numpy(), A @ x) < F32TOL
+    B = rng.standard_normal((n, 6)).astype(np.float32)
+    Bd = hl.DistDenseMatrix.from_global(B, be1, dtype=np.float32)
+    assert _rel((Ad @ Bd).to_numpy(), A @ B) < F32TOL
+
+
+def test_device_mf_extend_add_matmul_on_chip(be1):
+    """The selection-matmul extend-add against the scatter path on-chip:
+    identical solves to f32 roundoff."""
+    import hpclinalg.solver.device_mf as dmf
+
+    A = laplace2d(24)  # n=576
+    b = np.random.default_rng(9).standard_normal(576)
+    xs = []
+    old = dmf.EA_MATMUL
+    try:
+        for flag in (False, True):
+            dmf.EA_MATMUL = flag
+            hl.clear_plan_cache()
+            Ad = hl.DistSparseMatrix.from_scipy(A, be1)
+            F = hl.ldlt(Ad, method="device", spd=True)
+            xs.append(F.solve(
+                hl.DistVector.from_global(b, be1, dtype=np.float32)
+            ).to_numpy())
+            F.finalize()
+    finally:
+        dmf.EA_MATMUL = old
+        hl.clear_plan_cache()
+    assert np.allclose(xs[0], xs[1], rtol=2e-4, atol=2e-4)
