@@ -78,23 +78,45 @@ def _ea_onehot_add(F4, dstb, psl, u, dt):
     hi = jax.lax.Precision.HIGHEST
     step = max(1, _EA_CHUNK_ELEMS // (NF * NF))
     batched = F4.ndim == 4  # (S, B, NF, NF) vs (B, NF, NF)
-    for c0 in range(0, C, step):
-        c1 = min(C, c0 + step)
-        ps = psl[..., c0:c1, :]
-        uc = u[..., c0:c1, :, :]
+
+    def one_chunk(F4, ps, uc, db):
         iota = jax.lax.broadcasted_iota(
             jnp.int32, ps.shape[:-1] + (NF, ps.shape[-1]), ps.ndim - 1)
         OH = (ps[..., None, :] == iota).astype(dt)
         if batched:
             t = jnp.einsum("scfr,scrq->scfq", OH, uc, precision=hi)
             contrib = jnp.einsum("scfq,scgq->scfg", t, OH, precision=hi)
-            F4 = jax.vmap(lambda f, d, v: f.at[d].add(v, mode="drop"))(
-                F4, dstb[:, c0:c1], contrib)
-        else:
-            t = jnp.einsum("cfr,crq->cfq", OH, uc, precision=hi)
-            contrib = jnp.einsum("cfq,cgq->cfg", t, OH, precision=hi)
-            F4 = F4.at[dstb[c0:c1]].add(contrib, mode="drop")
-    return F4
+            return jax.vmap(lambda f, d, v: f.at[d].add(v, mode="drop"))(
+                F4, db, contrib)
+        t = jnp.einsum("cfr,crq->cfq", OH, uc, precision=hi)
+        contrib = jnp.einsum("cfq,cgq->cfg", t, OH, precision=hi)
+        return F4.at[db].add(contrib, mode="drop")
+
+    if C <= step:
+        return one_chunk(F4, psl, u, dstb)
+    # Wide fronts (one chunk per child at NF ~ 10^4): sequence the chunks
+    # through a fori_loop. Unrolled chunks are pure producers into a scatter
+    # chain, so XLA keeps many (step, NF, NF) contrib temps alive at once —
+    # measured 7 x 1 GB resident at the 3D 64^3 root, 10 MB over HBM.
+    ax = psl.ndim - 2  # child axis
+    npad = (-C) % step
+    if npad:
+        psl = jnp.concatenate([psl, jnp.full(
+            psl.shape[:ax] + (npad,) + psl.shape[ax + 1:], -1, psl.dtype)],
+            axis=ax)
+        u = jnp.concatenate([u, jnp.zeros(
+            u.shape[:ax] + (npad,) + u.shape[ax + 1:], u.dtype)], axis=ax)
+        dstb = jnp.concatenate([dstb, jnp.zeros(
+            dstb.shape[:-1] + (npad,), dstb.dtype)], axis=-1)
+
+    def body(i, F4):
+        c0 = i * step
+        ps = jax.lax.dynamic_slice_in_dim(psl, c0, step, axis=ax)
+        uc = jax.lax.dynamic_slice_in_dim(u, c0, step, axis=ax)
+        db = jax.lax.dynamic_slice_in_dim(dstb, c0, step, axis=-1)
+        return one_chunk(F4, ps, uc, db)
+
+    return jax.lax.fori_loop(0, (C + npad) // step, body, F4)
 
 
 # ---------------------------------------------------------------------------
@@ -990,6 +1012,10 @@ class DeviceFactorization:
             raise RuntimeError("factorization was finalized")
         if refine is None:
             refine = 1 if self.n_perturbed == 0 else 2
+            if (np.dtype(self.engine.dtype).itemsize <= 4
+                    and _mm_prec(self.engine.dtype)
+                    is not jax.lax.Precision.HIGHEST):
+                refine += 1  # bf16x3 matmul roundoff: one extra cheap sweep
         is_dist = isinstance(b, DistVector)
         if is_dist:
             bg = allgather_full(b.data, b.partition, self.backend)

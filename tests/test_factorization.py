@@ -447,3 +447,28 @@ def test_device_extend_add_engines_agree(be4):
         hl.clear_plan_cache()
     assert np.allclose(xs[0], xs[1], rtol=1e-12, atol=1e-12)
     assert _resid(A, xs[1], b) < 1e-10
+
+
+def test_device_extend_add_chunked_fori(be4):
+    """The wide-front chunked extend-add (fori_loop sequencing, one contrib
+    temp live at a time — the 3D 64^3 HBM fix) must match the unchunked
+    path exactly."""
+    import hpclinalg.solver.device_mf as dmf
+
+    A = laplace2d(18)
+    b = rand_vector(324)
+    old = dmf._EA_CHUNK_ELEMS
+    xs = []
+    try:
+        for cap in (old, 1):  # inline path, then forced step=1 fori path
+            dmf._EA_CHUNK_ELEMS = cap
+            hl.clear_plan_cache()
+            Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+            F = hl.lu(Ad, method="device")
+            xs.append(F.solve(hl.DistVector.from_global(b, be4)).to_numpy())
+            F.finalize()
+    finally:
+        dmf._EA_CHUNK_ELEMS = old
+        hl.clear_plan_cache()
+    assert np.allclose(xs[0], xs[1], rtol=1e-12, atol=1e-12)
+    assert _resid(A, xs[1], b) < 1e-10

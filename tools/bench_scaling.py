@@ -1,0 +1,92 @@
+"""Multi-shard strong-scaling probe on the virtual CPU mesh.
+
+Runs the distributed SpMV (halo ExchangePlan + local kernel inside one
+jitted chain) on a fixed 2D Laplacian at nshards = 1, 2, 4, 8 and prints
+ONE JSON line {"nshards": [...], "spmv_ms": [...]}. Absolute numbers are
+CPU-mesh times (not TPU perf); the row exists to show the sharded
+collective path strong-scales rather than serializes (VERDICT r1 item 10,
+"multi-shard scaling row"). The real-chip single-shard numbers live in
+bench.py's other extras.
+
+Run standalone: python tools/bench_scaling.py
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np  # noqa: E402
+import scipy.sparse as sp  # noqa: E402
+
+
+def laplace2d(k, dtype):
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(k, k))
+    I = sp.eye(k)
+    return (sp.kron(I, T) + sp.kron(T, I)).tocsr().astype(dtype)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    import hpclinalg as hl
+    from hpclinalg.ops.spmv import get_spmv_plan
+
+    K = 16
+    A = laplace2d(512, np.float32)  # n=262k
+    xh = np.random.default_rng(0).standard_normal(A.shape[0]).astype(
+        np.float32)
+    shard_counts, times = [], []
+    for S in (1, 2, 4, 8):
+        be = hl.backend_auto(nshards=S, dtype=np.float32)
+        Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=np.float32)
+        x = hl.DistVector.from_global(xh, be, dtype=np.float32)
+        _ = Ad @ x  # build the plan
+        plan = get_spmv_plan(Ad, x)
+        from hpclinalg.ops.spmv import _dia_exec, _dia_values
+        from hpclinalg.parallel.exchange import (_exchange_fn,
+                                                 _local_permute_fn)
+
+        st = Ad.structure
+        ex = plan.exchange
+        dval = _dia_values(Ad, plan)
+        dia = _dia_exec(plan.offsets, st.Lrow, plan.bias_lo, plan.bias_hi)
+        dia_id = _dia_exec(plan.offsets, st.Lrow, plan.bias_lo, plan.bias_hi,
+                           pad_to=ex.out_pad)
+
+        def spmv(xd):
+            """Same engine selection as the library / __graft_entry__."""
+            if ex.is_identity:
+                return dia_id(dval, xd)
+            if ex.local_only:
+                g = _local_permute_fn(False, False)(
+                    xd, ex.send_idx, ex.recv_pos, None, ex.out_pad)
+            else:
+                g = _exchange_fn(be.mesh, 0, False, False)(
+                    xd, ex.send_idx, ex.recv_pos, None, ex.out_pad)
+            return dia(dval, g)
+
+        chain = jax.jit(lambda v: jax.lax.fori_loop(
+            0, K, lambda i, y: spmv(y) * 0.125, v))
+        y = chain(x.data)
+        float(jnp.sum(y))  # compile + warm
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(chain(x.data)))
+            best = min(best, (time.perf_counter() - t0) / K)
+        shard_counts.append(S)
+        times.append(round(best * 1e3, 3))
+    print(json.dumps({"nshards": shard_counts, "spmv_ms": times}))
+
+
+if __name__ == "__main__":
+    main()
