@@ -197,6 +197,20 @@ def main():
     except Exception as e:
         extras["spmv_pallas_error"] = str(e)[:200]
 
+    # ---- multi-shard strong scaling (virtual CPU mesh, subprocess) ------
+    try:
+        import subprocess
+        import sys as _sys
+
+        r = subprocess.run(
+            [_sys.executable, "tools/bench_scaling.py"], timeout=600,
+            capture_output=True, text=True,
+            cwd=__file__.rsplit("/", 1)[0] or ".")
+        line = r.stdout.strip().splitlines()[-1]
+        extras["scaling_virtual_mesh"] = json.loads(line)
+    except Exception as e:
+        extras["scaling_error"] = str(e)[:200]
+
     # ---- SpGEMM A*A, n=10k stencil (DIA tier) ----------------------------
     Af = hl.DistSparseMatrix.from_scipy(laplace2d(100, np.float32), be,
                                         dtype=np.float32)

@@ -19,7 +19,7 @@ from .backend import (
     backends_compatible,
 )
 from .cache import cache_sizes, check_cache_sizes, clear_plan_cache
-from .config import enable_x64
+from .config import enable_compile_cache, enable_x64
 from .hashing import dense_structural_hash, partition_hash, sparse_structural_hash
 from .partition import uniform_partition
 from .vector import DistVector
@@ -49,6 +49,7 @@ from .utils.convert import clear_solver_caches, comm_rank, comm_size, to_backend
 __all__ = [
     "AXIS", "Backend", "backend_auto", "backend_serial", "backends_compatible",
     "cache_sizes", "check_cache_sizes", "clear_plan_cache", "enable_x64",
+    "enable_compile_cache",
     "partition_hash", "sparse_structural_hash", "dense_structural_hash",
     "uniform_partition", "DistVector", "DistSparseMatrix", "DistDenseMatrix",
     "LazyTranspose", "repartition_vector", "repartition_dense",

@@ -23,6 +23,22 @@ def enable_x64() -> None:
     jax.config.update("jax_enable_x64", True)
 
 
+def enable_compile_cache(path: str = "/tmp/hpclinalg_xla_cache",
+                         min_secs: float = 1.0) -> None:
+    """Enable JAX's persistent compilation cache.
+
+    The device multifrontal compiles one large level-unrolled executable per
+    (pattern hash, kind, dtype); through the remote TPU compiler that is the
+    dominant cost of plan construction (minutes at 3D 64^3). The persistent
+    cache makes repeat factorizations of the same pattern — across processes
+    and sessions — skip compilation entirely, the compiled analogue of the
+    reference's memoized backslash cache surviving the Julia session
+    (HPCLinearAlgebra.jl:643-690 caches within one process; XLA's disk cache
+    extends that across processes)."""
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
+
+
 def round_up(n: int, m: int = PAD_MULTIPLE) -> int:
     """Round ``n`` up to a multiple of ``m`` (always at least ``m``)."""
     if n <= 0:

@@ -30,6 +30,7 @@ from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from ..backend import AXIS, Backend
@@ -37,37 +38,77 @@ from ..config import round_up
 
 
 @lru_cache(maxsize=None)
-def _exchange_fn(mesh, extra_dims: int, with_base: bool, add: bool):
+def _exchange_fn(mesh, extra_dims: int, with_base: bool, add: bool,
+                 self_mode: str = "scatter"):
     """Jitted all_to_all exchange for payloads of rank 1+extra_dims per slot.
+
+    Self-traffic (slots a shard keeps for itself) never rides the
+    collective: the all_to_all carries only the off-shard slots, so its
+    padded width is the max OFF-diagonal count. Without the split, a halo
+    pattern (keep Lrow locally, ship a boundary sliver) pads every
+    shard-pair buffer to Lrow and the collective moves S*Lrow per shard —
+    measured 23x slowdown at 8 shards on the 2048^2 stencil.
+
+    self_mode:
+      "none"    — no shard keeps anything locally (pure exchange)
+      "scatter" — general local take/scatter of the kept slots
+      "prefix"  — each shard keeps its ENTIRE valid block, landing on a
+                  contiguous destination run (the halo-gather layout):
+                  one dynamic_update_slice of the whole shard at the
+                  per-shard start — a bandwidth-speed copy instead of an
+                  element scatter. Requires out starting from zeros (the
+                  trailing x padding is zero by the padding invariant, so
+                  over-writing [start+valid, start+L) with it is a no-op).
 
     with_base: scatter into a provided base array instead of zeros (setindex
     paths). add: scatter-add instead of overwrite (assembly paths)."""
     pay_spec = P(AXIS, *([None] * (1 + extra_dims)))
 
-    def body(x, send_idx, recv_pos, base, out_pad):
+    def body(x, send_idx, recv_pos, self_a, self_b, base, out_pad):
         # x: (1, L, ...); send_idx/recv_pos: (1, S, C)
+        # self_a/self_b: (1, Cs) scatter arrays, or (1,) starts for "prefix"
         S, C = send_idx.shape[1], send_idx.shape[2]
         trail = x.shape[2:]
+        out = base[0] if with_base else jnp.zeros((out_pad,) + trail, x.dtype)
+        if self_mode == "prefix":
+            out = jax.lax.dynamic_update_slice(
+                out, x[0], (self_a[0],) + (jnp.int32(0),) * len(trail))
+        elif self_mode == "scatter":
+            sbuf = jnp.take(x[0], self_a[0], axis=0)
+            sat = out.at[self_b[0]]
+            out = sat.add(sbuf, mode="drop") if add \
+                else sat.set(sbuf, mode="drop")
         buf = jnp.take(x[0], send_idx[0].reshape(-1), axis=0)
         buf = buf.reshape((S, C) + trail)
         recv = jax.lax.all_to_all(buf, AXIS, split_axis=0, concat_axis=0)
         flat = recv.reshape((S * C,) + trail)
-        out = base[0] if with_base else jnp.zeros((out_pad,) + trail, x.dtype)
         at = out.at[recv_pos[0].reshape(-1)]
         out = at.add(flat, mode="drop") if add else at.set(flat, mode="drop")
         return out[None]
 
-    @partial(jax.jit, static_argnums=(4,))
-    def run(x, send_idx, recv_pos, base, out_pad):
-        in_specs = (pay_spec, P(AXIS, None, None), P(AXIS, None, None))
-        args = (x, send_idx, recv_pos)
+    @partial(jax.jit, static_argnums=(6,))
+    def run(x, send_idx, recv_pos, self_a, self_b, base, out_pad):
+        in_specs = [pay_spec, P(AXIS, None, None), P(AXIS, None, None)]
+        args = [x, send_idx, recv_pos]
+        if self_mode == "prefix":
+            in_specs += [P(AXIS)]
+            args += [self_a]
+        elif self_mode == "scatter":
+            in_specs += [P(AXIS, None), P(AXIS, None)]
+            args += [self_a, self_b]
         if with_base:
-            in_specs = in_specs + (pay_spec,)
-            args = args + (base,)
-            fn = lambda x_, si, rp, b: body(x_, si, rp, b, out_pad)
-        else:
-            fn = lambda x_, si, rp: body(x_, si, rp, None, out_pad)
-        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=pay_spec)(*args)
+            in_specs.append(pay_spec)
+            args.append(base)
+
+        def fn(x_, si, rp, *rest):
+            rest = list(rest)
+            sa = rest.pop(0) if self_mode != "none" else None
+            sb = rest.pop(0) if self_mode == "scatter" else None
+            b = rest.pop(0) if with_base else None
+            return body(x_, si, rp, sa, sb, b, out_pad)
+
+        return jax.shard_map(fn, mesh=mesh, in_specs=tuple(in_specs),
+                             out_specs=pay_spec)(*args)
 
     return run
 
@@ -177,6 +218,9 @@ class ExchangePlan:
             if all(r is not None for r in runs) and len(set(runs)) == 1:
                 self.window = runs[0]  # (src_start, dst_start, length)
 
+        self.self_idx = self.self_pos = self.self_prefix = None
+        self.self_prefix_max = 0
+        self.has_self = False
         if self.local_only:
             C = max(1, round_up(int(np.diag(counts).max() if S else 0), 8))
             si = np.zeros((S, C), dtype=np.int32)
@@ -186,14 +230,61 @@ class ExchangePlan:
                 si[s, :c] = send[s][s]
                 rp[s, :c] = recv_pos[s][s]
         else:
-            C = max(1, round_up(int(counts.max()), 8))
+            # self-traffic rides a local take/scatter; the collective is
+            # padded only to the max OFF-diagonal count (halo patterns keep
+            # O(L) locally but ship O(halo) — padding the all_to_all to the
+            # diagonal count would move S*L per shard)
+            off = counts.copy()
+            np.fill_diagonal(off, 0)
+            C = max(1, round_up(int(off.max()), 8))
             si = np.zeros((S, S, C), dtype=np.int32)
             rp = np.full((S, S, C), self.out_pad, dtype=np.int32)
             for s in range(S):
                 for d in range(S):
+                    if d == s:
+                        continue
                     c = counts[s, d]
                     si[s, d, :c] = send[s][d]
                     rp[d, s, :c] = recv_pos[d][s]
+            Cd = int(np.diag(counts).max())
+            self.has_self = Cd > 0
+            if self.has_self:
+                sh1 = backend.row_sharding(0)
+                # prefix fast path: every shard keeps its whole valid block
+                # (send = arange(valid)) on a contiguous destination run —
+                # one dynamic_update_slice per shard instead of an element
+                # scatter (the halo-gather layout). Needs src_sizes so we
+                # know "whole block", and the payload's trailing padding to
+                # be zero (the global invariant).
+                starts = np.zeros(S, dtype=np.int32)
+                pref = src_sizes is not None
+                if pref:
+                    for s in range(S):
+                        sd, rv = send[s][s], recv_pos[s][s]
+                        c = len(sd)
+                        b0 = int(rv[0]) if c else 0
+                        if (c != int(src_sizes[s])
+                                or not np.array_equal(
+                                    sd, np.arange(c, dtype=sd.dtype))
+                                or not np.array_equal(
+                                    rv, np.arange(b0, b0 + c,
+                                                  dtype=rv.dtype))):
+                            pref = False
+                            break
+                        starts[s] = b0
+                if pref:
+                    self.self_prefix = jax.device_put(
+                        starts, NamedSharding(backend.mesh, P(AXIS)))
+                    self.self_prefix_max = int(starts.max())
+                Cd = round_up(Cd, 8)
+                ssi = np.zeros((S, Cd), dtype=np.int32)
+                srp = np.full((S, Cd), self.out_pad, dtype=np.int32)
+                for s in range(S):
+                    c = counts[s, s]
+                    ssi[s, :c] = send[s][s]
+                    srp[s, :c] = recv_pos[s][s]
+                self.self_idx = jax.device_put(ssi, sh1)
+                self.self_pos = jax.device_put(srp, sh1)
 
         sh = backend.row_sharding(si.ndim - 2)
         self.send_idx = jax.device_put(si, sh)
@@ -210,7 +301,16 @@ class ExchangePlan:
         if self.window is not None and not with_base and not add:
             return _window_fn()(x, self.window, self.out_pad)
         if self.local_only:
-            fn = _local_permute_fn(with_base, add)
+            return _local_permute_fn(with_base, add)(
+                x, self.send_idx, self.recv_pos, base, self.out_pad)
+        if not self.has_self:
+            mode, sa, sb = "none", None, None
+        elif (self.self_prefix is not None and not with_base
+                and self.self_prefix_max + x.shape[1] <= self.out_pad):
+            mode, sa, sb = "prefix", self.self_prefix, None
         else:
-            fn = partial(_exchange_fn(self.backend.mesh, x.ndim - 2, with_base, add))
-        return fn(x, self.send_idx, self.recv_pos, base, self.out_pad)
+            mode, sa, sb = "scatter", self.self_idx, self.self_pos
+        fn = _exchange_fn(self.backend.mesh, x.ndim - 2, with_base, add,
+                          self_mode=mode)
+        return fn(x, self.send_idx, self.recv_pos, sa, sb, base,
+                  self.out_pad)

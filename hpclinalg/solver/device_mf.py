@@ -277,6 +277,14 @@ class DeviceMF:
                  dtype=np.float32):
         if kind not in ("chol", "ldl", "lu"):
             raise ValueError(f"unknown kind {kind!r}")
+        import os
+
+        if not os.environ.get("HPCLINALG_NO_COMPILE_CACHE"):
+            # minutes-scale remote compiles dominate plan construction;
+            # persist them so repeat patterns skip compilation entirely
+            from ..config import enable_compile_cache
+
+            enable_compile_cache()
         self.kind = kind
         self.dtype = np.dtype(dtype)
         self.backend = backend
@@ -987,6 +995,9 @@ class DeviceFactorization:
         nnzb = np.concatenate([[0], np.cumsum(st.nnz_local)]).astype(np.int64)
         Avals = allgather_full(A.nzval, nnzb, self.backend)  # (nnzA,) device
         eps = _PERT_REL * max(float(jnp.max(jnp.abs(A.nzval))), 1.0)
+        # drop the previous factors BEFORE launching: at 3D-64^3 scale the
+        # factor buffers are GBs, and old+new+temps together exceed HBM
+        self.factors = None
         self.factors = self.engine.factor(Avals, eps)
         self.n_perturbed = int(self.factors[2])
         if self.kind == "chol":

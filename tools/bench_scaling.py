@@ -41,7 +41,7 @@ def main():
     from hpclinalg.ops.spmv import get_spmv_plan
 
     K = 16
-    A = laplace2d(512, np.float32)  # n=262k
+    A = laplace2d(2048, np.float32)  # n=4.2M
     xh = np.random.default_rng(0).standard_normal(A.shape[0]).astype(
         np.float32)
     shard_counts, times = [], []
@@ -52,8 +52,6 @@ def main():
         _ = Ad @ x  # build the plan
         plan = get_spmv_plan(Ad, x)
         from hpclinalg.ops.spmv import _dia_exec, _dia_values
-        from hpclinalg.parallel.exchange import (_exchange_fn,
-                                                 _local_permute_fn)
 
         st = Ad.structure
         ex = plan.exchange
@@ -66,13 +64,7 @@ def main():
             """Same engine selection as the library / __graft_entry__."""
             if ex.is_identity:
                 return dia_id(dval, xd)
-            if ex.local_only:
-                g = _local_permute_fn(False, False)(
-                    xd, ex.send_idx, ex.recv_pos, None, ex.out_pad)
-            else:
-                g = _exchange_fn(be.mesh, 0, False, False)(
-                    xd, ex.send_idx, ex.recv_pos, None, ex.out_pad)
-            return dia(dval, g)
+            return dia(dval, ex.apply(xd))
 
         chain = jax.jit(lambda v: jax.lax.fori_loop(
             0, K, lambda i, y: spmv(y) * 0.125, v))
