@@ -23,7 +23,7 @@ def enable_x64() -> None:
     jax.config.update("jax_enable_x64", True)
 
 
-def enable_compile_cache(path: str = "/tmp/hpclinalg_xla_cache",
+def enable_compile_cache(path: str | None = None,
                          min_secs: float = 1.0) -> None:
     """Enable JAX's persistent compilation cache.
 
@@ -34,7 +34,11 @@ def enable_compile_cache(path: str = "/tmp/hpclinalg_xla_cache",
     and sessions — skip compilation entirely, the compiled analogue of the
     reference's memoized backslash cache surviving the Julia session
     (HPCLinearAlgebra.jl:643-690 caches within one process; XLA's disk cache
-    extends that across processes)."""
+    extends that across processes). The directory is scoped per backend
+    platform — a shared dir serves CPU AOT blobs compiled with another
+    host's machine features (XLA loads them with a SIGILL warning)."""
+    if path is None:
+        path = f"/tmp/hpclinalg_xla_cache_{jax.default_backend()}"
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
 
