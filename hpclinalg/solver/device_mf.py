@@ -180,6 +180,19 @@ def proportional_map(sym: symbolic.SymbolicFactor, S: int) -> np.ndarray:
 # batched unpivoted kernels (recursive blocked; trace-time recursion)
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _all_finite(tree):
+    """One compiled finiteness probe over a whole factor pytree (every level
+    batch, ADVICE r1: multi-root forests can hide a non-SPD component at a
+    low level). Op-by-op per-buffer probes cost ~70 separate remote XLA
+    compiles per pattern on the build path."""
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if jnp.issubdtype(x.dtype, jnp.inexact)]
+    if not leaves:
+        return jnp.bool_(True)
+    return jnp.stack([jnp.isfinite(x).all() for x in leaves]).all()
+
+
 def _clamp(d, eps):
     """Static-pivot perturbation: |d| < eps -> sign-preserving +-eps."""
     bad = jnp.abs(d) < eps
@@ -1002,9 +1015,7 @@ class DeviceFactorization:
         self.n_perturbed = int(self.factors[2])
         if self.kind == "chol":
             loc, top, _ = self.factors
-            probes = [jnp.isfinite(x).all() for fac in (*loc, *top)
-                      for x in fac]
-            if probes and not bool(jnp.stack(probes).all()):
+            if not bool(_all_finite((loc, top))):
                 raise ValueError("device Cholesky requires an SPD matrix "
                                  "(use kind='ldl' for indefinite systems)")
 

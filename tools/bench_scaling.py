@@ -77,7 +77,17 @@ def main():
             best = min(best, (time.perf_counter() - t0) / K)
         shard_counts.append(S)
         times.append(round(best * 1e3, 3))
-    print(json.dumps({"nshards": shard_counts, "spmv_ms": times}))
+    # The CI host is 1-core: virtual devices time-slice it, so wall-clock
+    # cannot strong-scale here. The objective check is the collective
+    # payload: the all_to_all must carry the halo, not the block.
+    halo_w = int(ex.send_idx.shape[-1]) if not ex.is_identity else 0
+    print(json.dumps({
+        "nshards": shard_counts, "spmv_ms": times,
+        "collective_width_last": halo_w,
+        "block_width_last": int(Ad.structure.Lrow),
+        "note": "1-core host time-slices virtual devices; "
+                "width ratio is the scaling-relevant quantity",
+    }))
 
 
 if __name__ == "__main__":
