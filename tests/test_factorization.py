@@ -3,6 +3,7 @@ small, SPD, indefinite, 2D Laplacian, block-diagonal; factorization reuse;
 transpose/adjoint solve; complex; mixed partitions."""
 
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 import hpclinalg as hl
@@ -472,3 +473,14 @@ def test_device_extend_add_chunked_fori(be4):
         hl.clear_plan_cache()
     assert np.allclose(xs[0], xs[1], rtol=1e-12, atol=1e-12)
     assert _resid(A, xs[1], b) < 1e-10
+
+
+def test_device_chol_rejects_indefinite(be4):
+    """chol on an indefinite matrix must raise (the probe covers every
+    level batch, so a non-SPD component finishing at a low level in a
+    multi-root forest is still caught — ADVICE r1)."""
+    A = laplace2d(8).tolil()
+    A[10, 10] = -50.0  # indefinite
+    Ad = hl.DistSparseMatrix.from_scipy(A.tocsr(), be4)
+    with pytest.raises(ValueError, match="SPD"):
+        hl.ldlt(Ad, method="device", spd=True)
