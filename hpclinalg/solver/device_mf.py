@@ -65,7 +65,11 @@ def _mm_prec(dt=None):
 # NF-wide parent the matmul form is ~NF^2/nr^2 * (MXU rate / scatter rate)
 # faster — measured 2.6x end-to-end on the 3D 48^3 factor (v5e).
 EA_MATMUL = True
-_EA_CHUNK_ELEMS = 1 << 24  # cap on the (C, NF, NF) contrib temporary
+# Cap on the (step, NF, NF) contrib temporary per chunk. Levels whose whole
+# child set fits one chunk take the inline path (no fori sequencing);
+# 512 MB f32 keeps every 48^3-class level inline while the 16k-wide 64^3
+# roots (1 GB per child) still sequence one chunk at a time.
+_EA_CHUNK_ELEMS = 1 << 27
 
 
 def _ea_onehot_add(F4, dstb, psl, u, dt):
@@ -1046,14 +1050,22 @@ class DeviceFactorization:
         x = self.engine.solve(self.factors, bg, transpose=transpose)
         if refine and is_dist:
             # iterative refinement with DEVICE residuals through the
-            # distributed SpMV — compensates static-pivot perturbations
+            # distributed SpMV — compensates static-pivot perturbations and
+            # bf16x3 front roundoff. ``refine`` is the sweep cap; the loop
+            # stops early once the relative residual reaches dtype noise
+            # (each sweep costs a full triangular-solve pass, ~1/3 of the
+            # total solve time at 3D-64^3 scale).
             xd = DistVector(
                 scatter_from_full(x.astype(b.dtype), self.A.row_partition,
                                   self.backend),
                 self.A.row_partition, self.backend)
             Aop = self.A.T if transpose else self.A
+            rtol = 50 * float(jnp.finfo(self.engine.dtype).eps)
+            bn = float(b.norm())
             for _ in range(refine):
                 r = b - Aop @ xd
+                if bn > 0 and float(r.norm()) <= rtol * bn:
+                    break
                 rg = allgather_full(r.data, r.partition, self.backend)
                 dx = self.engine.solve(self.factors, rg, transpose=transpose)
                 x = x + dx
