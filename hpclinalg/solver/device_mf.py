@@ -1080,23 +1080,47 @@ class DeviceFactorization:
                 self.A.row_partition, self.backend)
         return np.asarray(x)
 
-    def solve_matrix(self, B, transpose: bool = False):
+    def solve_matrix(self, B, transpose: bool = False,
+                     refine: int | None = None):
         """Multi-RHS device solve — one batched wave sweep for all columns
-        (ref: MUMPS multi-RHS, mumps_factorization.jl:291-353)."""
+        (ref: MUMPS multi-RHS, mumps_factorization.jl:291-353), with the
+        same capped early-stopping refinement as the vector path (the
+        residual is one distributed SpMM per sweep)."""
         from ..dense import DistDenseMatrix
         from ..parallel.mesh import allgather_full, scatter_from_full
 
+        if refine is None:
+            refine = 1 if self.n_perturbed == 0 else 2
         is_dist = isinstance(B, DistDenseMatrix)
         if is_dist:
             Bg = allgather_full(B.data, B.row_partition, self.backend)
         else:
             Bg = jnp.asarray(np.asarray(B))
         X = self.engine.solve(self.factors, Bg, transpose=transpose)
-        if is_dist:
+        if not is_dist:
+            return np.asarray(X)
+        k = X.shape[1]
+
+        def to_dist(Xg):
             return DistDenseMatrix(
-                scatter_from_full(X, self.A.row_partition, self.backend),
-                self.A.row_partition, X.shape[1], self.backend)
-        return np.asarray(X)
+                scatter_from_full(Xg.astype(B.dtype), self.A.row_partition,
+                                  self.backend),
+                self.A.row_partition, k, self.backend)
+
+        Xd = to_dist(X)
+        if refine:
+            Aop = self.A.T if transpose else self.A
+            rtol = 50 * float(jnp.finfo(self.engine.dtype).eps)
+            bn = float(B.norm())
+            for _ in range(refine):
+                R = B - Aop @ Xd
+                if bn > 0 and float(R.norm()) <= rtol * bn:
+                    break
+                Rg = allgather_full(R.data, R.row_partition, self.backend)
+                X = X + self.engine.solve(self.factors, Rg,
+                                          transpose=transpose)
+                Xd = to_dist(X)
+        return Xd
 
     def finalize(self):
         self.factors = None
