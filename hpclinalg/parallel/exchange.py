@@ -222,6 +222,14 @@ class ExchangePlan:
         self.self_prefix_max = 0
         self.has_self = False
         if self.local_only:
+            if self.is_identity or self.window is not None:
+                # the fast tiers never read the scatter arrays; build them
+                # lazily only if a base/add apply forces the general path
+                # (saves two padded-local-length uploads per cached plan)
+                self.send_idx = self.recv_pos = None
+                self._send_host = send
+                self._recv_host = recv_pos
+                return
             C = max(1, round_up(int(np.diag(counts).max() if S else 0), 8))
             si = np.zeros((S, C), dtype=np.int32)
             rp = np.full((S, C), self.out_pad, dtype=np.int32)  # out of bounds -> drop
@@ -301,6 +309,19 @@ class ExchangePlan:
         if self.window is not None and not with_base and not add:
             return _window_fn()(x, self.window, self.out_pad)
         if self.local_only:
+            if self.send_idx is None:  # lazily built for fast-tier plans
+                S = self.backend.nshards
+                send, recv_pos = self._send_host, self._recv_host
+                C = max(1, round_up(int(np.diag(self.counts).max()), 8))
+                si = np.zeros((S, C), dtype=np.int32)
+                rp = np.full((S, C), self.out_pad, dtype=np.int32)
+                for s in range(S):
+                    c = self.counts[s, s]
+                    si[s, :c] = send[s][s]
+                    rp[s, :c] = recv_pos[s][s]
+                sh = self.backend.row_sharding(0)
+                self.send_idx = jax.device_put(si, sh)
+                self.recv_pos = jax.device_put(rp, sh)
             return _local_permute_fn(with_base, add)(
                 x, self.send_idx, self.recv_pos, base, self.out_pad)
         if not self.has_self:

@@ -1030,55 +1030,78 @@ class DeviceFactorization:
         self._numeric(A)
         return self
 
+    def _default_refine(self) -> int:
+        """Sweep CAP, not a fixed count — the loop exits as soon as the
+        residual hits dtype noise, so the cap only binds on ill-conditioned
+        systems (e.g. the 2D 10^6 Laplacian, cond ~ 4e5, needs 3-4 f32
+        sweeps; a 3D Poisson exits after 1-2)."""
+        n = 1 if self.n_perturbed == 0 else 2
+        if (np.dtype(self.engine.dtype).itemsize <= 4
+                and _mm_prec(self.engine.dtype)
+                is not jax.lax.Precision.HIGHEST):
+            n += 3  # bf16x3 matmul roundoff + f32 headroom
+        return n
+
+    @staticmethod
+    def _part_of(o):
+        """Row partition of a DistVector (.partition) or matrix."""
+        p = getattr(o, "partition", None)
+        return p if p is not None else o.row_partition
+
+    def _refined_solve(self, Bd, transpose, refine, to_dist):
+        """Shared solve + capped early-stopping iterative refinement with
+        DEVICE residuals through the distributed SpMV/SpMM — compensates
+        static-pivot perturbations and bf16x3 front roundoff. Stops when
+        the relative residual reaches dtype noise or stagnates (each sweep
+        costs a full triangular-solve pass, ~1/3 of total solve time at
+        3D-64^3 scale). Every gather uses the operand's OWN partition —
+        the RHS may live on a different partition than A (the binary ops
+        align automatically)."""
+        from ..parallel.mesh import allgather_full
+
+        Bg = allgather_full(Bd.data, self._part_of(Bd), self.backend)
+        X = self.engine.solve(self.factors, Bg, transpose=transpose)
+        Xd = to_dist(X)
+        if not refine:
+            return Xd
+        Aop = self.A.T if transpose else self.A
+        rtol = 50 * float(jnp.finfo(self.engine.dtype).eps)
+        bn = float(Bd.norm())
+        prev = np.inf
+        for _ in range(refine):
+            R = Bd - Aop @ Xd
+            rn = float(R.norm())
+            if bn > 0 and (rn <= rtol * bn or rn >= 0.5 * prev):
+                break
+            prev = rn
+            Rg = allgather_full(R.data, self._part_of(R), self.backend)
+            X = X + self.engine.solve(self.factors, Rg, transpose=transpose)
+            Xd = to_dist(X)
+        return Xd
+
     def solve(self, b, transpose: bool = False, refine: int | None = None):
-        from ..parallel.mesh import allgather_full, scatter_from_full
+        from ..parallel.mesh import scatter_from_full
         from ..vector import DistVector
 
         if self.factors is None:
             raise RuntimeError("factorization was finalized")
         if refine is None:
-            refine = 1 if self.n_perturbed == 0 else 2
-            if (np.dtype(self.engine.dtype).itemsize <= 4
-                    and _mm_prec(self.engine.dtype)
-                    is not jax.lax.Precision.HIGHEST):
-                refine += 1  # bf16x3 matmul roundoff: one extra cheap sweep
+            refine = self._default_refine()
         is_dist = isinstance(b, DistVector)
-        if is_dist:
-            bg = allgather_full(b.data, b.partition, self.backend)
-        else:
-            bg = jnp.asarray(np.asarray(b))
-        x = self.engine.solve(self.factors, bg, transpose=transpose)
-        if refine and is_dist:
-            # iterative refinement with DEVICE residuals through the
-            # distributed SpMV — compensates static-pivot perturbations and
-            # bf16x3 front roundoff. ``refine`` is the sweep cap; the loop
-            # stops early once the relative residual reaches dtype noise
-            # (each sweep costs a full triangular-solve pass, ~1/3 of the
-            # total solve time at 3D-64^3 scale).
-            xd = DistVector(
-                scatter_from_full(x.astype(b.dtype), self.A.row_partition,
-                                  self.backend),
-                self.A.row_partition, self.backend)
-            Aop = self.A.T if transpose else self.A
-            rtol = 50 * float(jnp.finfo(self.engine.dtype).eps)
-            bn = float(b.norm())
-            for _ in range(refine):
-                r = b - Aop @ xd
-                if bn > 0 and float(r.norm()) <= rtol * bn:
-                    break
-                rg = allgather_full(r.data, r.partition, self.backend)
-                dx = self.engine.solve(self.factors, rg, transpose=transpose)
-                x = x + dx
-                xd = DistVector(
-                    scatter_from_full(x.astype(b.dtype),
-                                      self.A.row_partition, self.backend),
-                    self.A.row_partition, self.backend)
-            return xd
-        if is_dist:
+        part = self.A.row_partition
+        if not is_dist:
+            # replicated-array RHS refines through the same distributed path
+            b = DistVector(
+                scatter_from_full(jnp.asarray(np.asarray(b)), part,
+                                  self.backend), part, self.backend)
+
+        def to_dist(x):
             return DistVector(
-                scatter_from_full(x, self.A.row_partition, self.backend),
-                self.A.row_partition, self.backend)
-        return np.asarray(x)
+                scatter_from_full(x.astype(b.dtype), part, self.backend),
+                part, self.backend)
+
+        xd = self._refined_solve(b, transpose, refine, to_dist)
+        return xd if is_dist else xd.to_numpy()
 
     def solve_matrix(self, B, transpose: bool = False,
                      refine: int | None = None):
@@ -1087,40 +1110,28 @@ class DeviceFactorization:
         same capped early-stopping refinement as the vector path (the
         residual is one distributed SpMM per sweep)."""
         from ..dense import DistDenseMatrix
-        from ..parallel.mesh import allgather_full, scatter_from_full
+        from ..parallel.mesh import scatter_from_full
 
+        if self.factors is None:
+            raise RuntimeError("factorization was finalized")
         if refine is None:
-            refine = 1 if self.n_perturbed == 0 else 2
+            refine = self._default_refine()
         is_dist = isinstance(B, DistDenseMatrix)
-        if is_dist:
-            Bg = allgather_full(B.data, B.row_partition, self.backend)
-        else:
-            Bg = jnp.asarray(np.asarray(B))
-        X = self.engine.solve(self.factors, Bg, transpose=transpose)
+        part = self.A.row_partition
         if not is_dist:
-            return np.asarray(X)
-        k = X.shape[1]
+            Bg = jnp.asarray(np.asarray(B))
+            B = DistDenseMatrix(
+                scatter_from_full(Bg, part, self.backend), part,
+                Bg.shape[1], self.backend)
+        k = B.ncols
 
         def to_dist(Xg):
             return DistDenseMatrix(
-                scatter_from_full(Xg.astype(B.dtype), self.A.row_partition,
-                                  self.backend),
-                self.A.row_partition, k, self.backend)
+                scatter_from_full(Xg.astype(B.dtype), part, self.backend),
+                part, k, self.backend)
 
-        Xd = to_dist(X)
-        if refine:
-            Aop = self.A.T if transpose else self.A
-            rtol = 50 * float(jnp.finfo(self.engine.dtype).eps)
-            bn = float(B.norm())
-            for _ in range(refine):
-                R = B - Aop @ Xd
-                if bn > 0 and float(R.norm()) <= rtol * bn:
-                    break
-                Rg = allgather_full(R.data, R.row_partition, self.backend)
-                X = X + self.engine.solve(self.factors, Rg,
-                                          transpose=transpose)
-                Xd = to_dist(X)
-        return Xd
+        Xd = self._refined_solve(B, transpose, refine, to_dist)
+        return Xd if is_dist else Xd.to_numpy()
 
     def finalize(self):
         self.factors = None
