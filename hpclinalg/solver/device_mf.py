@@ -1039,7 +1039,7 @@ class DeviceFactorization:
         if (np.dtype(self.engine.dtype).itemsize <= 4
                 and _mm_prec(self.engine.dtype)
                 is not jax.lax.Precision.HIGHEST):
-            n += 3  # bf16x3 matmul roundoff + f32 headroom
+            n += 4  # bf16x3 matmul roundoff + f32 headroom
         return n
 
     @staticmethod
@@ -1071,7 +1071,7 @@ class DeviceFactorization:
         for _ in range(refine):
             R = Bd - Aop @ Xd
             rn = float(R.norm())
-            if bn > 0 and (rn <= rtol * bn or rn >= 0.5 * prev):
+            if bn > 0 and (rn <= rtol * bn or rn >= 0.8 * prev):
                 break
             prev = rn
             Rg = allgather_full(R.data, self._part_of(R), self.backend)
