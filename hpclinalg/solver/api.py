@@ -32,7 +32,7 @@ def _get_symbolic(A) -> SymbolicFactor:
     every refactorization (the expensive, comm-free phase)."""
 
     def build():
-        A_csr = A.to_scipy()
+        A_csr = A.pattern_csr()  # symbolic phase never reads values
         perm = amd_order(A_csr.indptr.astype(np.int64),
                          A_csr.indices.astype(np.int64), A.m)
         return analyze(A_csr, perm)
@@ -47,7 +47,7 @@ def _get_perm_csc(A, sym):
     def build():
         import scipy.sparse as sp
 
-        A_csr = A.to_scipy()  # structure only; values refreshed per factorize
+        A_csr = A.pattern_csr()  # structure only; values refreshed per factorize
         n = A.m
         coo = A_csr.tocoo()
         r2 = sym.iperm[coo.row]
@@ -94,8 +94,12 @@ class Factorization:
         # factorization; structure cached). Host residuals avoid device
         # round-trips and f32 truncation on TPUs without x64.
         if self._A_host is None:
-            self._A_host = A.to_scipy().astype(self.dtype)
-            self._A_host.sort_indices()
+            # pattern from replicated metadata + the values we already
+            # pulled — avoids a second full device->host nzval transfer
+            M = A.pattern_csr().astype(self.dtype)
+            M.data[:] = vals
+            M.sort_indices()
+            self._A_host = M
         else:
             self._A_host.data[:] = vals
         if self.native is not None:

@@ -998,7 +998,10 @@ class DeviceFactorization:
         self.kind = kind
 
         def build():
-            return DeviceMF(A.to_scipy(), A.backend, kind=kind,
+            # pattern-only host CSR: the symbolic/plan phase never reads
+            # values, and pulling nzval through the relay costs 32 s at
+            # n=262k (measured — over half the cache-hit build time)
+            return DeviceMF(A.pattern_csr(), A.backend, kind=kind,
                             dtype=self.dtype)
 
         self.engine = cached_plan(

@@ -242,12 +242,11 @@ class DistSparseMatrix:
         """Same pattern, new values — shares structure, hash, and every plan."""
         return DistSparseMatrix(self.structure, nzval, self.backend)
 
-    def to_scipy(self) -> sp.csr_matrix:
-        """Gather to a replicated scipy CSR (ref converter SparseMatrixCSC(),
-        HPCLinearAlgebra.jl:871-930)."""
+    def _gathered_pattern(self):
+        """(indptr, indices) of the replicated global CSR — pure host work
+        over the replicated structure metadata, no device transfer."""
         st = self.structure
-        nz = np.asarray(self.nzval)
-        indices_all, data_all = [], []
+        indices_all = []
         indptr = np.zeros(self.m + 1, dtype=np.int64)
         rows_done = 0
         for s in range(self.backend.nshards):
@@ -256,10 +255,31 @@ class DistSparseMatrix:
             indptr[rows_done + 1: rows_done + nl + 1] = indptr[rows_done] + ip[1:]
             gcols = st.col_indices[s][st.colval[s]] if len(st.colval[s]) else np.zeros(0, np.int64)
             indices_all.append(gcols)
-            data_all.append(nz[s, : st.nnz_local[s]])
             rows_done += nl
         indices = np.concatenate(indices_all) if indices_all else np.zeros(0, np.int64)
-        data = np.concatenate(data_all) if data_all else np.zeros(0, self.dtype)
+        return indptr, indices
+
+    def pattern_csr(self) -> sp.csr_matrix:
+        """Replicated host CSR of the PATTERN only (data = ones; scipy
+        canonicalization prunes explicit zeros, which would silently drop
+        pattern entries under e.g. A + A.T symmetrization) — for symbolic
+        consumers (ordering, symbolic factorization, plan construction).
+        Pulling values through the device->host link costs ~seconds-to-
+        minutes at scale and symbolic phases never read them."""
+        indptr, indices = self._gathered_pattern()
+        return sp.csr_matrix(
+            (np.ones(len(indices), np.float32), indices, indptr),
+            shape=self.shape)
+
+    def to_scipy(self) -> sp.csr_matrix:
+        """Gather to a replicated scipy CSR (ref converter SparseMatrixCSC(),
+        HPCLinearAlgebra.jl:871-930)."""
+        st = self.structure
+        nz = np.asarray(self.nzval)
+        indptr, indices = self._gathered_pattern()
+        data = np.concatenate(
+            [nz[s, : st.nnz_local[s]] for s in range(self.backend.nshards)]
+        ) if self.backend.nshards else np.zeros(0, self.dtype)
         return sp.csr_matrix((data, indices, indptr), shape=self.shape)
 
     # -- elementwise / scalar (zero-preserving; ref sparse.jl:2261-2569) -------
