@@ -964,9 +964,19 @@ class DeviceMF:
         squeeze = b.ndim == 1
         if squeeze:
             b = b[:, None]
+        # bucket the RHS width: the level-unrolled solve executable costs
+        # minutes through the remote compiler PER distinct k, so pad k up
+        # to {1, 8, 16, 32, ...} and slice the result — one compile serves
+        # every width in the bucket
+        k = b.shape[1]
+        kb = 1 if k == 1 else max(8, 1 << (k - 1).bit_length())
+        if kb != k:
+            b = jnp.pad(b, ((0, 0), (0, kb - k)))
         # chol/ldl are symmetric: transpose == plain solve
         tr = bool(transpose) and self.kind == "lu"
         x = self._solve_jit(self._bufs, loc, top, b, tr)
+        if kb != k:
+            x = x[:, :k]
         return x[:, 0] if squeeze else x
 
 
