@@ -42,6 +42,23 @@ def _ids_of(key, n):
     raise TypeError(f"unsupported index type {type(key)}")
 
 
+def _check_bounds(ids: np.ndarray, n: int, what: str) -> None:
+    """Global ids must be in [0, n): OOB ids would silently corrupt other
+    entries (dense flat-index wrap) or build an unowned structure entry
+    (sparse) — the reference's setindex! throws a BoundsError."""
+    if len(ids) and (ids.min() < 0 or ids.max() >= n):
+        bad = ids[(ids < 0) | (ids >= n)][0]
+        raise IndexError(f"{what} index {bad} out of bounds for size {n}")
+
+
+def _check_value_dtype(vdtype, adtype) -> None:
+    if (np.issubdtype(np.dtype(vdtype), np.complexfloating)
+            and not np.issubdtype(np.dtype(adtype), np.complexfloating)):
+        raise TypeError(
+            "cannot assign complex values into a real container "
+            "(casting would silently drop the imaginary part)")
+
+
 def _dedup_last(ids: np.ndarray):
     """Positions keeping the LAST occurrence of each id, original order
     (Julia last-write-wins setindex! semantics)."""
@@ -148,6 +165,8 @@ def sparse_setindex(A, key, value) -> None:
         raise TypeError("matrix setindex requires A[rows, cols] = value")
     rids = _ids_of(key[0], A.m)
     cids = _ids_of(key[1], A.ncols)
+    _check_bounds(rids, A.m, "row")
+    _check_bounds(cids, A.ncols, "column")
 
     from ..sparse import DistSparseMatrix
 
@@ -182,6 +201,7 @@ def sparse_setindex(A, key, value) -> None:
 
     S = A.backend.nshards
     dtype = A.dtype
+    _check_value_dtype(V.dtype, dtype)
     template = np.zeros((S, plan.out_pad), dtype=dtype)
     vdata = V.data.astype(dtype)
     for s in range(S):
@@ -215,6 +235,8 @@ def dense_setindex(M, key, value) -> None:
         raise TypeError("matrix setindex requires M[rows, cols] = value")
     rids = _ids_of(key[0], M.m)
     cids = _ids_of(key[1], M.ncols)
+    _check_bounds(rids, M.m, "row")
+    _check_bounds(cids, M.ncols, "column")
 
     if np.isscalar(value) or isinstance(value, (int, float, complex)):
         vals = np.full((len(rids), len(cids)), value)
@@ -252,6 +274,7 @@ def dense_setindex(M, key, value) -> None:
         (M.row_partition_hash, n, L, _h(rids), _h(cids), M.backend.key),
         build,
     )
+    _check_value_dtype(vals.dtype, M.dtype)
     payload = np.zeros((S, Kpad), dtype=M.dtype)
     for s in range(S):
         if len(sel[s]):

@@ -153,9 +153,11 @@ class SpGEMMPlan:
         pO_np = pack_np(pairsO, self.structure.NNZpad)
         self.nchunks = -(-Ppad // PAIR_CAP)
         if self.nchunks <= 1:
-            self.pairA = jax.device_put(pA_np, A.backend.row_sharding())
-            self.pairB = jax.device_put(pB_np, A.backend.row_sharding())
-            self.pairO = jax.device_put(pO_np, A.backend.row_sharding())
+            # device upload deferred: the DIA / densify tiers never read the
+            # pair tables, and eagerly pinning O(flops) int32 slots x 3 in
+            # the plan cache wastes HBM for every stencil-class product
+            self._pair_np = (pA_np, pB_np, pO_np)
+            self.pairA = self.pairB = self.pairO = None
         else:
             # memory guard: keep the O(flops) tables on host; execution
             # streams bounded chunks to the device and accumulates into C
@@ -179,7 +181,10 @@ class SpGEMMPlan:
         GA = stA.Gpad
         self.densify = (not self.dia.ok
                         and stA.Lrow * GA <= DENSE_SPGEMM_ELEMS
-                        and GA * B.ncols <= DENSE_SPGEMM_ELEMS)
+                        and GA * B.ncols <= DENSE_SPGEMM_ELEMS
+                        # the materialized product is (Lrow, ncolsB) and its
+                        # flat size must also fit the int32 take fill
+                        and stA.Lrow * B.ncols <= DENSE_SPGEMM_ELEMS)
         if self.densify:
             self.ncolsB = B.ncols
             self.GA = GA
@@ -251,7 +256,6 @@ class DiaSpGEMMPlan:
         from ..config import round_up
 
         wanted = []
-        self.w_pos0 = []  # first valid slot in the window per shard
         nB = stB.shape[0]
         for s in range(S):
             r0 = int(stA.row_partition[s])
@@ -260,7 +264,6 @@ class DiaSpGEMMPlan:
             hi = r1 + w_hi
             ids = np.arange(max(lo, 0), min(hi, nB), dtype=np.int64)
             wanted.append(ids)
-            self.w_pos0.append(max(lo, 0) - lo)  # clip offset
         # positions: slot (id - lo) in the window buffer
         self.window_plan = _window_gather_plan(
             A.backend, stB.row_partition, wanted,
@@ -472,6 +475,12 @@ def spgemm(A, B):
                                 plan.structure.NNZpad, po)
             nz = part if nz is None else nz + part
         return DistSparseMatrix(plan.structure, nz, A.backend)
+    if plan.pairA is None:
+        sh = A.backend.row_sharding()
+        pA_np, pB_np, pO_np = plan._pair_np
+        plan.pairA = jax.device_put(pA_np, sh)
+        plan.pairB = jax.device_put(pB_np, sh)
+        plan.pairO = jax.device_put(pO_np, sh)
     nz = _spgemm_exec(A.nzval.astype(dtype), gathered, plan.pairA, plan.pairB,
                       plan.structure.NNZpad, plan.pairO)
     return DistSparseMatrix(plan.structure, nz, A.backend)

@@ -418,8 +418,8 @@ def matvec(A, x):
     if plan.offsets is not None:
         from .pallas_dia import pallas_available, pallas_dia_matvec
 
-        if pallas_available(A.backend, st.Lrow) and not jnp.issubdtype(
-                jnp.result_type(A.dtype, x.dtype), jnp.complexfloating):
+        if pallas_available(A.backend, st.Lrow) and jnp.result_type(
+                A.dtype, x.dtype) == jnp.float32:
             xb = x.data if plan.exchange.is_identity else plan.exchange.apply(x.data)
             y = pallas_dia_matvec(A, plan, xb)
             return DistVector(y, st.row_partition, A.backend)

@@ -95,10 +95,13 @@ class Factorization:
         # round-trips and f32 truncation on TPUs without x64.
         if self._A_host is None:
             # pattern from replicated metadata + the values we already
-            # pulled — avoids a second full device->host nzval transfer
+            # pulled — avoids a second full device->host nzval transfer.
+            # Deliberately NOT sort_indices()'d: scipy matvec does not need
+            # sorted rows, and sorting would permute .data so the
+            # storage-order value refresh below would silently misalign on
+            # patterns with unsorted within-row columns.
             M = A.pattern_csr().astype(self.dtype)
             M.data[:] = vals
-            M.sort_indices()
             self._A_host = M
         else:
             self._A_host.data[:] = vals
@@ -202,6 +205,8 @@ class Factorization:
         whole RHS rather than looping columns)."""
         from ..dense import DistDenseMatrix
 
+        if self.native is None and self.num is None:
+            raise RuntimeError("factorization was finalized")
         if refine is None:
             refine = 1 if self.n_perturbed == 0 else 3
         is_dist = isinstance(B, DistDenseMatrix)
@@ -330,8 +335,11 @@ class BackslashCache:
         # real-valued pattern twin must not hit the real factorization (the
         # reference dispatches on a single T, HPCLinearAlgebra.jl:643-744)
         solver = getattr(A.backend, "solver", "multifrontal")
+        # backend.key (mesh/device identity) matters like in every plan
+        # cache: the same pattern on a different mesh must not reuse a
+        # Factorization whose distributed outputs live on the stale mesh
         key = (A.hash, kind, str(np.dtype(A.dtype)),
-               str(np.dtype(A.backend.dtype)), solver)
+               str(np.dtype(A.backend.dtype)), solver, A.backend.key)
         c = BackslashCache._cache()
         F = c.get(key)
         if F is None:

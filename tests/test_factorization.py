@@ -484,3 +484,13 @@ def test_device_chol_rejects_indefinite(be4):
     Ad = hl.DistSparseMatrix.from_scipy(A.tocsr(), be4)
     with pytest.raises(ValueError, match="SPD"):
         hl.ldlt(Ad, method="device", spd=True)
+
+
+def test_solve_matrix_after_finalize_raises(be4):
+    A = laplace2d(5)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    F = hl.ldlt(Ad)
+    F.finalize()
+    B = hl.DistDenseMatrix.from_global(np.ones((25, 3)), be4)
+    with pytest.raises(RuntimeError, match="finalized"):
+        F.solve_matrix(B)

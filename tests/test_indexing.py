@@ -239,3 +239,26 @@ def test_sparse_fancy_duplicates(be4):
     S = Ad[ridx, cidx]
     assert_close(S.to_scipy().toarray(), A.toarray()[np.ix_(ridx, cidx)],
                  np.float64)
+
+
+def test_setindex_bounds_checked(be4):
+    """OOB ids must raise (ref BoundsError), not silently corrupt other
+    entries via flat-index wrap (dense) or unowned columns (sparse)."""
+    A = hl.DistSparseMatrix.from_scipy(sp.eye(10).tocsr(), be4)
+    M = hl.DistDenseMatrix.from_global(np.zeros((10, 10)), be4)
+    for bad_r, bad_c in (([10], [0]), ([0], [10]), ([-1], [0]), ([0], [-1])):
+        with pytest.raises(IndexError):
+            A[bad_r, bad_c] = 1.0
+        with pytest.raises(IndexError):
+            M[bad_r, bad_c] = 1.0
+
+
+def test_setindex_complex_into_real_raises(be4):
+    """Assigning complex values into a real container must raise instead of
+    silently dropping the imaginary part (matches the solver's guard)."""
+    A = hl.DistSparseMatrix.from_scipy(sp.eye(10).tocsr(), be4)
+    M = hl.DistDenseMatrix.from_global(np.zeros((10, 10)), be4)
+    with pytest.raises(TypeError):
+        A[[0], [0]] = 1 + 2j
+    with pytest.raises(TypeError):
+        M[[0], [0]] = 1 + 2j
