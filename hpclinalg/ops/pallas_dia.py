@@ -32,16 +32,16 @@ MIN_ROWS = 1 << 21
 
 
 def pallas_available(backend, Lrow: int = MIN_ROWS) -> bool:
-    """The kernel is TPU Mosaic and computes in float32: gate on an actual
-    TPU platform ('gpu' would dispatch pltpu and fail to compile) and on a
-    float32 backend dtype (f64/bf16 inputs must keep the XLA path's
-    result_type dtype, not silently come back f32)."""
+    """The kernel is TPU Mosaic: gate on an actual TPU platform ('gpu'
+    would dispatch pltpu and fail to compile). It computes in float32 —
+    callers must additionally check the OPERAND result dtype is f32 (the
+    library matvec does; see ops/spmv.py) so f64/bf16 inputs keep the XLA
+    path's result_type dtype."""
     try:
         platform = backend.mesh.devices.flat[0].platform
     except Exception:
         return False
-    return (platform in ("tpu", "axon") and Lrow >= MIN_ROWS
-            and np.dtype(backend.dtype) == np.float32)
+    return platform in ("tpu", "axon") and Lrow >= MIN_ROWS
 
 
 @lru_cache(maxsize=None)
