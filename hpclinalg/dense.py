@@ -118,8 +118,14 @@ class DistDenseMatrix:
         return _mask_dev(self.row_partition, self.data.shape[1], self.backend)[..., None]
 
     # -- elementwise / scalar (ref dense.jl:1317-1346, 1818-1851) -------------
+    def _check_same_shape(self, o):
+        if o.shape != self.shape:
+            raise ValueError(
+                f"dimension mismatch: {self.shape} vs {o.shape}")
+
     def __add__(self, o):
         if isinstance(o, DistDenseMatrix):
+            self._check_same_shape(o)
             o = o.repartition(self.row_partition)
             return self._like(self.data + o.data)
         return self.map(lambda d: d + o)
@@ -128,6 +134,7 @@ class DistDenseMatrix:
 
     def __sub__(self, o):
         if isinstance(o, DistDenseMatrix):
+            self._check_same_shape(o)
             o = o.repartition(self.row_partition)
             return self._like(self.data - o.data)
         return self.map(lambda d: d - o)
@@ -137,14 +144,20 @@ class DistDenseMatrix:
 
     def __mul__(self, o):
         if np.isscalar(o) or isinstance(o, (int, float, complex)):
-            return self._like(self.data * o)
+            from .vector import _finite_scalar
+
+            return self.map(lambda d: d * o,
+                            zero_preserving=_finite_scalar(o))
         return NotImplemented
 
     __rmul__ = __mul__
 
     def __truediv__(self, o):
         if np.isscalar(o) or isinstance(o, (int, float, complex)):
-            return self._like(self.data / o)
+            from .vector import _finite_scalar
+
+            return self.map(lambda d: d / o,
+                            zero_preserving=_finite_scalar(o) and o != 0)
         return NotImplemented
 
     def __neg__(self):

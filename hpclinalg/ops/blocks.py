@@ -89,9 +89,12 @@ def _run_blocks(backend, key, placed):
 
     st, plans = cached_plan("blocks_plan", key,
                             lambda: _assemble_blocks(backend, placed))
+    # promote to the common dtype up front (like cat_dense/vcat_vectors):
+    # scattering a f64 block into a f32 base would silently downcast it
+    dtype = np.result_type(*[B.dtype for (B, _ro, _co) in placed])
     out = None
     for plan, (B, _ro, _co) in zip(plans, placed):
-        out = plan.apply(B.nzval, base=out)
+        out = plan.apply(B.nzval.astype(dtype), base=out)
     return DistSparseMatrix(st, out, backend)
 
 

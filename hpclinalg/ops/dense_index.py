@@ -20,16 +20,18 @@ from .indexing import _normalize_slice, subrange_partition
 
 def _row_ids(key, m, S):
     from ..vector import DistVector
-    from .indexing import v_to_int_host
+    from .indexing import check_ids_bounds, v_to_int_host
 
     if isinstance(key, slice):
         s0, s1, st = _normalize_slice(key, m)
         return np.arange(s0, s1, st, dtype=np.int64), ("slice", s0, s1, st), (s0, s1, st)
     if isinstance(key, DistVector):
         ids = v_to_int_host(key)
+        check_ids_bounds(ids, m)
         return ids, ("vec", _h(ids)), None
     if isinstance(key, (list, np.ndarray)):
         ids = np.asarray(key, dtype=np.int64)
+        check_ids_bounds(ids, m)
         return ids, ("arr", _h(ids)), None
     raise TypeError("unsupported dense row index (scalar indexing is "
                     "deliberately unsupported, ref indexing.jl:17-21)")
@@ -38,7 +40,7 @@ def _row_ids(key, m, S):
 def dense_getindex(A, key):
     from ..dense import DistDenseMatrix
     from ..vector import DistVector
-    from .indexing import v_to_int_host
+    from .indexing import check_ids_bounds, v_to_int_host
 
     if not isinstance(key, tuple) or len(key) != 2:
         raise TypeError("matrix indexing requires A[rows, cols]")
@@ -54,9 +56,11 @@ def dense_getindex(A, key):
         ctag = ("slice", c0, c1, cst)
     elif isinstance(ckey, DistVector):
         cids = v_to_int_host(ckey)
+        check_ids_bounds(cids, n)
         ctag = ("vec", _h(cids))
     elif isinstance(ckey, (list, np.ndarray)):
         cids = np.asarray(ckey, dtype=np.int64)
+        check_ids_bounds(cids, n)
         ctag = ("arr", _h(cids))
     elif isinstance(ckey, (int, np.integer)):
         # A[:, k] -> column as DistVector (ref indexing.jl:872)

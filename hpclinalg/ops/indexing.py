@@ -78,7 +78,7 @@ def vector_getindex(v, key):
         return DistVector(plan.apply(v.data), sub_p, v.backend)
     if isinstance(key, DistVector):
         idx_host = np.asarray(v_to_int_host(key))
-        sizes = partition_sizes(key.partition)
+        check_ids_bounds(idx_host, v.n)
         wanted = [
             idx_host[key.partition[d]: key.partition[d + 1]]
             for d in range(nshards_of(key.partition))
@@ -97,6 +97,7 @@ def vector_getindex(v, key):
         return DistVector(plan.apply(v.data), key.partition.copy(), v.backend)
     if isinstance(key, (list, np.ndarray)):
         idx = np.asarray(key, dtype=np.int64)
+        check_ids_bounds(idx, v.n)
         backend = v.backend
         sub_p = uniform_partition(len(idx), backend.nshards)
         wanted = [idx[sub_p[d]: sub_p[d + 1]] for d in range(nshards_of(sub_p))]
@@ -112,6 +113,14 @@ def vector_getindex(v, key):
     raise TypeError(f"unsupported index type {type(key)}")
 
 
+def check_ids_bounds(ids: np.ndarray, n: int) -> None:
+    """Fancy ids must be in [0, n): OOB/negative ids map to no owner shard
+    and would silently read zeros (gather) or drop writes (scatter)."""
+    if len(ids) and (ids.min() < 0 or ids.max() >= n):
+        bad = ids[(ids < 0) | (ids >= n)][0]
+        raise IndexError(f"index {bad} out of bounds for size {n}")
+
+
 def v_to_int_host(key) -> np.ndarray:
     """Replicate a distributed integer index vector to host (ref:
     _gather_vector_to_all, indexing.jl:1821)."""
@@ -119,7 +128,9 @@ def v_to_int_host(key) -> np.ndarray:
     if not np.issubdtype(arr.dtype, np.integer):
         if np.issubdtype(arr.dtype, np.complexfloating):
             arr = arr.real  # index vectors on a complex backend store Re+0j
-        arr = arr.astype(np.int64)
+        # rint, not truncation: ids computed in floating point carry
+        # roundoff (2.9999999999999996 must select 3, not 2)
+        arr = np.rint(arr).astype(np.int64)
     return arr
 
 
@@ -138,6 +149,7 @@ def vector_setindex(v, key, value):
         ids = np.asarray(key, dtype=np.int64)
     else:
         raise TypeError(f"unsupported index type {type(key)}")
+    check_ids_bounds(ids, v.n)
 
     if np.isscalar(value) or isinstance(value, (int, float, complex)):
         src = DistVector.from_global(

@@ -15,7 +15,8 @@ from ..cache import cached_plan
 from ..hashing import _h
 from ..partition import uniform_partition
 from ..parallel.exchange import ExchangePlan
-from .indexing import _normalize_slice, subrange_partition
+from .indexing import (_normalize_slice, check_ids_bounds,
+                       subrange_partition)
 
 
 def _key_ids(key, n, v_to_host):
@@ -27,9 +28,11 @@ def _key_ids(key, n, v_to_host):
         return np.arange(s0, s1, st, dtype=np.int64), ("slice", s0, s1, st)
     if isinstance(key, DistVector):
         ids = v_to_host(key)
+        check_ids_bounds(ids, n)
         return ids, ("vec", _h(ids))
     if isinstance(key, (list, np.ndarray)):
         ids = np.asarray(key, dtype=np.int64)
+        check_ids_bounds(ids, n)
         return ids, ("arr", _h(ids))
     if isinstance(key, (int, np.integer)):
         raise TypeError("scalar indexing of distributed matrices is unsupported "

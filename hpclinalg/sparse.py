@@ -214,9 +214,7 @@ class DistSparseMatrix:
             parts.append((loc.indptr.astype(np.int64), loc.indices.astype(np.int64)))
             vals.append(loc.data)
         st = _structure_from_local_csr(parts, n, backend, col_partition)
-        # row partition explicitly given may differ from cumsum default
-        st = SparseStructure(rp, st.col_partition, st.indptr, st.col_indices,
-                             st.colval, backend)
+        # parts were sliced by rp, so the cumsum row partition equals rp
         nz = _pad_stack_nzval(vals, st.NNZpad, dtype or backend.dtype)
         return DistSparseMatrix(st, jax.device_put(nz, backend.row_sharding()), backend)
 
@@ -283,19 +281,41 @@ class DistSparseMatrix:
         return sp.csr_matrix((data, indices, indptr), shape=self.shape)
 
     # -- elementwise / scalar (zero-preserving; ref sparse.jl:2261-2569) -------
-    def _map_nz(self, fn) -> "DistSparseMatrix":
-        return self.with_values(fn(self.nzval))
+    def _nnz_mask(self):
+        """Device (S, NNZpad) validity mask over nzval slots."""
+        from .cache import cached_plan
+
+        st = self.structure
+
+        def build():
+            m = np.arange(st.NNZpad)[None, :] < st.nnz_local[:, None]
+            return jax.device_put(m, self.backend.row_sharding())
+
+        return cached_plan("masks", ("nnzmask", st.hash, self.backend.key),
+                           build)
+
+    def _map_nz(self, fn, zero_preserving: bool = True) -> "DistSparseMatrix":
+        out = fn(self.nzval)
+        if not zero_preserving:
+            out = jnp.where(self._nnz_mask(), out, jnp.zeros((), out.dtype))
+        return self.with_values(out)
 
     def __mul__(self, o):
         if np.isscalar(o) or isinstance(o, (int, float, complex)):
-            return self._map_nz(lambda v: v * o)
+            from .vector import _finite_scalar
+
+            return self._map_nz(lambda v: v * o,
+                                zero_preserving=_finite_scalar(o))
         return NotImplemented
 
     __rmul__ = __mul__
 
     def __truediv__(self, o):
         if np.isscalar(o) or isinstance(o, (int, float, complex)):
-            return self._map_nz(lambda v: v / o)
+            from .vector import _finite_scalar
+
+            return self._map_nz(lambda v: v / o,
+                                zero_preserving=_finite_scalar(o) and o != 0)
         return NotImplemented
 
     def __neg__(self):

@@ -49,6 +49,16 @@ def _where_mask(mask, a, fill):
     return jnp.where(mask, a, fill)
 
 
+def _finite_scalar(o) -> bool:
+    """True when scalar-multiplying by ``o`` preserves zeros (finite o):
+    a non-finite scalar writes 0*inf = NaN into the padding region and
+    poisons whole-array reductions (the padding invariant)."""
+    try:
+        return bool(np.isfinite(o))
+    except Exception:
+        return False
+
+
 class DistVector:
     """Distributed dense vector (ref: HPCVector, vectors.jl:21)."""
 
@@ -147,6 +157,9 @@ class DistVector:
         if cached is not None and cached[0] is self.data:
             return cached[1]
         arr = gather_to_host(self.data, self.partition)
+        # read-only: callers mutating the returned array would otherwise
+        # poison every later cached read of the unchanged vector
+        arr.setflags(write=False)
         self._host_cache = (self.data, arr)
         return arr
 
@@ -204,14 +217,15 @@ class DistVector:
     def __mul__(self, o):
         if isinstance(o, DistVector):
             return DistVector.bmap(jnp.multiply, self, o, zero_preserving=True)
-        return self._like(self.data * o)
+        return self.map(lambda d: d * o, zero_preserving=_finite_scalar(o))
 
     __rmul__ = __mul__
 
     def __truediv__(self, o):
         if isinstance(o, DistVector):
             return DistVector.bmap(jnp.divide, self, o)
-        return self._like(self.data / o)
+        return self.map(lambda d: d / o,
+                        zero_preserving=_finite_scalar(o) and o != 0)
 
     def __rtruediv__(self, o):
         return self.map(lambda d: o / d)

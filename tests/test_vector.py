@@ -2,6 +2,7 @@
 vectors.jl coverage (reductions vectors.jl:758-857, broadcasting :1093)."""
 
 import numpy as np
+import scipy.sparse as sp
 import pytest
 
 import hpclinalg as hl
@@ -85,3 +86,56 @@ def test_zeros_and_from_local(be4):
     v = hl.DistVector.from_local(shards, be4)
     assert_close(v.to_numpy(), np.concatenate(shards), np.float64)
     assert np.array_equal(v.partition, [0, 3, 7, 7, 9])
+
+
+def test_scalar_ops_nonfinite_preserve_padding(be4):
+    """A non-finite scalar must not write 0*inf = NaN into the padding
+    region (the padding invariant feeds whole-array reductions)."""
+    v = hl.DistVector.from_global(np.arange(1.0, 8.0), be4)
+    assert np.isinf((v * np.inf).norm(1))
+    assert np.isinf((v / 0.0).norm(1))
+    M = hl.DistDenseMatrix.from_global(np.ones((7, 3)), be4)
+    assert np.isinf((M * np.inf).norm())
+    A = hl.DistSparseMatrix.from_scipy(sp.eye(7).tocsr(), be4)
+    assert np.isinf((A * np.inf).norm())
+
+
+def test_fancy_index_bounds_checked(be4):
+    v = hl.DistVector.from_global(np.arange(5.0), be4)
+    import pytest
+
+    with pytest.raises(IndexError):
+        v[[7]]
+    with pytest.raises(IndexError):
+        v[[-1]]
+    with pytest.raises(IndexError):
+        v[[7]] = 9.0
+    A = hl.DistSparseMatrix.from_scipy(sp.eye(5).tocsr(), be4)
+    with pytest.raises(IndexError):
+        A[[0, 9], :]
+
+
+def test_float_index_vector_rounds(be4):
+    """Float ids carry roundoff; 2.9999999999999996 must select 3."""
+    v = hl.DistVector.from_global(np.arange(10.0), be4)
+    idx = hl.DistVector.from_global(
+        np.array([0.0, np.nextafter(3.0, 0.0), 7.0]), be4)
+    assert np.allclose(v[idx].to_numpy(), [0.0, 3.0, 7.0])
+
+
+def test_cat_sparse_dtype_promotes(be4):
+    A32 = hl.DistSparseMatrix.from_scipy(sp.eye(4).tocsr(), be4,
+                                         dtype=np.float32)
+    A64 = hl.DistSparseMatrix.from_scipy(
+        (sp.eye(4) * (1 + 1e-12)).tocsr(), be4, dtype=np.float64)
+    C = hl.vcat_sparse(A32, A64)
+    assert C.dtype == np.float64
+
+
+def test_dense_add_shape_mismatch_raises(be4):
+    A = hl.DistDenseMatrix.from_global(np.ones((4, 3)), be4)
+    B = hl.DistDenseMatrix.from_global(np.ones((4, 1)), be4)
+    import pytest
+
+    with pytest.raises(ValueError, match="mismatch"):
+        A + B
