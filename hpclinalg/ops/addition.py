@@ -85,7 +85,9 @@ def add(A, B, alpha=1, beta=1):
     if not np.array_equal(A.row_partition, B.row_partition):
         B = B.repartition(A.row_partition)
     plan = get_addition_plan(A, B)
-    dtype = jnp.result_type(A.dtype, B.dtype)
+    # scalars participate: a complex alpha/beta on real operands must
+    # promote the result instead of crashing on the complex->float cast
+    dtype = jnp.result_type(A.dtype, B.dtype, alpha, beta)
     out0 = jnp.zeros((A.backend.nshards, plan.structure.NNZpad), dtype)
     out0 = jax.device_put(out0, A.backend.row_sharding())
     nz = _add_exec(A.nzval.astype(dtype), B.nzval.astype(dtype),
@@ -95,16 +97,14 @@ def add(A, B, alpha=1, beta=1):
 
 
 def _diag_positions(A):
-    """Per-shard storage positions of structurally-present diagonal entries,
-    and the local diag rows they cover."""
+    """Per-shard storage positions of structurally-present diagonal
+    entries."""
     st = A.structure
-    pos, rows_covered = [], []
+    pos = []
     for s in range(A.backend.nshards):
         r, c = st.global_coo[s]
-        m = r == c
-        pos.append(np.flatnonzero(m))
-        rows_covered.append((r[m] - st.row_partition[s]))
-    return pos, rows_covered
+        pos.append(np.flatnonzero(r == c))
+    return pos
 
 
 def add_identity(A, lam=1.0):
@@ -119,7 +119,7 @@ def add_identity(A, lam=1.0):
     st = A.structure
 
     def build():
-        pos, rows = _diag_positions(A)
+        pos = _diag_positions(A)
         sizes = np.diff(st.row_partition)
         complete = all(len(p) == sz for p, sz in zip(pos, sizes))
         if not complete:
@@ -132,10 +132,12 @@ def add_identity(A, lam=1.0):
         return ("ok", jax.device_put(arr, A.backend.row_sharding()))
 
     _tag, posdev = cached_plan("identity_addition_plan", (A.hash, A.backend.key), build)
+    dtype = jnp.result_type(A.dtype, lam)
     if posdev is None:
         I = speye(A.m, A.backend, row_partition=st.row_partition,
-                  col_partition=st.col_partition, dtype=A.dtype)
+                  col_partition=st.col_partition, dtype=dtype)
         return add(A, I, 1, lam)
-    lam_arr = jnp.asarray(lam, A.dtype)
-    nz = jax.vmap(lambda v, p: v.at[p].add(lam_arr, mode="drop"))(A.nzval, posdev)
+    lam_arr = jnp.asarray(lam, dtype)
+    nz = jax.vmap(lambda v, p: v.at[p].add(lam_arr, mode="drop"))(
+        A.nzval.astype(dtype), posdev)
     return DistSparseMatrix(st, nz, A.backend)

@@ -49,13 +49,11 @@ def _build_transpose_plan(A):
     at_pos = np.empty(len(gcol), dtype=np.int64)  # position in dst-local storage
     send = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
     recv = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
-    max_nnz = 0
     for d in range(S):
         m = dst == d
         nl = int(cp[d + 1] - cp[d])
         lc, lr = gcol[m] - cp[d], grow[m]
         nnz_d = int(m.sum())
-        max_nnz = max(max_nnz, nnz_d)
         ip = np.zeros(nl + 1, dtype=np.int64)
         np.add.at(ip, lc + 1, 1)
         indptr.append(np.cumsum(ip))

@@ -107,7 +107,10 @@ class Factorization:
             self._A_host.data[:] = vals
         if self.native is not None:
             indptr, indices, nzmap = _get_perm_csc(A, self.sym)
-            eps = _PERT_REL * max(float(np.abs(vals).max()) if vals.size else 1.0, 1.0)
+            anorm = float(np.abs(vals).max()) if vals.size else 0.0
+            # relative threshold (no 1.0 floor: it would perturb every
+            # pivot of a small-magnitude matrix)
+            eps = _PERT_REL * (anorm if anorm > 0 else 1.0)
             csc = _CSCView(indptr, indices, np.ascontiguousarray(vals[nzmap]))
             self.native.factorize(self._lib, csc, self.kind, eps)
         else:

@@ -1024,7 +1024,8 @@ class DeviceFactorization:
         st = A.structure
         nnzb = np.concatenate([[0], np.cumsum(st.nnz_local)]).astype(np.int64)
         Avals = allgather_full(A.nzval, nnzb, self.backend)  # (nnzA,) device
-        eps = _PERT_REL * max(float(jnp.max(jnp.abs(A.nzval))), 1.0)
+        anorm = float(jnp.max(jnp.abs(A.nzval)))
+        eps = _PERT_REL * (anorm if anorm > 0 else 1.0)  # relative, no floor
         # drop the previous factors BEFORE launching: at 3D-64^3 scale the
         # factor buffers are GBs, and old+new+temps together exceed HBM
         self.factors = None

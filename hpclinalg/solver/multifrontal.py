@@ -45,8 +45,11 @@ def factorize(sym: SymbolicFactor, A_csr: sp.csr_matrix, kind: str) -> NumericFa
     n = sym.n
     Ap = sp.csc_matrix(A_csr[sym.perm][:, sym.perm])
     Ap.sort_indices()
-    anorm = max(np.abs(Ap.data).max(), 1.0) if Ap.nnz else 1.0
-    eps = _PERT_REL * anorm
+    # RELATIVE perturbation: flooring anorm at 1.0 made the threshold
+    # absolute and perturbed every pivot of a small-magnitude matrix
+    # (e.g. a well-conditioned SPD scaled by 1e-16 -> 99.9%-wrong solve)
+    anorm = float(np.abs(Ap.data).max()) if Ap.nnz else 0.0
+    eps = _PERT_REL * (anorm if anorm > 0 else 1.0)
 
     nsuper = sym.nsuper
     L11 = [None] * nsuper
@@ -66,6 +69,7 @@ def factorize(sym: SymbolicFactor, A_csr: sp.csr_matrix, kind: str) -> NumericFa
     Ap_csr = sp.csr_matrix(Ap)
     Ap_csr.sort_indices()
 
+    pos_of = np.full(n, -1, dtype=np.int64)  # reused scatter map (O(n) once)
     for k in range(nsuper):  # postordered: children before parents
         j0, j1 = int(sym.snode_ptr[k]), int(sym.snode_ptr[k + 1])
         nc = j1 - j0
@@ -76,7 +80,6 @@ def factorize(sym: SymbolicFactor, A_csr: sp.csr_matrix, kind: str) -> NumericFa
 
         F = np.zeros((nf, nf), dtype=Ap.dtype)
         # assemble A columns of the supernode: F[:, 0:nc] = A[fr, j0:j1]
-        pos_of = np.full(n, -1, dtype=np.int64)
         pos_of[fr] = np.arange(nf)
         for j in range(j0, j1):
             a, b = Ap.indptr[j], Ap.indptr[j + 1]
@@ -144,6 +147,7 @@ def factorize(sym: SymbolicFactor, A_csr: sp.csr_matrix, kind: str) -> NumericFa
 
         updates[k] = upd
         upd_rows[k] = rows
+        pos_of[fr] = -1  # reset only the touched slots (keeps O(front) cost)
 
     return NumericFactor(sym=sym, kind=kind, L11=L11, L21=L21, D=D,
                          U11=U11, U12=U12, n_perturbed=n_pert)

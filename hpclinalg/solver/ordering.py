@@ -15,6 +15,8 @@ import os
 import subprocess
 from functools import lru_cache
 
+from collections import deque
+
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
@@ -95,10 +97,10 @@ def rcm_order(indptr, indices, n) -> np.ndarray:
             if lvl is None:
                 break
             root = lvl
-        queue = [root]
+        queue = deque([root])
         visited[root] = True
         while queue:
-            v = queue.pop(0)
+            v = queue.popleft()
             order[pos] = v
             pos += 1
             nbrs = indices[indptr[v]: indptr[v + 1]]

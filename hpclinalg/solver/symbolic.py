@@ -207,7 +207,7 @@ def analyze(A_csr: sp.csr_matrix, perm: np.ndarray, relax: int = 16,
     post = np.zeros(n, dtype=np.int64)
     lib.sym_etree(n, ip, ix, parent)
     if lib.sym_postorder(n, parent, post) != 0:
-        return analyze_python(A_csr, perm, relax)
+        return analyze_python(A_csr, perm, relax, zeros_frac, small)
     perm2 = perm[post]
     ip, ix = _permuted_pattern(A_csr, perm2)
     lib.sym_etree(n, ip, ix, parent)
@@ -231,13 +231,15 @@ def analyze(A_csr: sp.csr_matrix, perm: np.ndarray, relax: int = 16,
     tot = lib.sym_snode_rows(n, nsuper, ip, ix, snode_ptr, snode_of, cap,
                              rows_ptr, rows)
     if tot < 0:
-        return analyze_python(A_csr, perm, relax)
+        return analyze_python(A_csr, perm, relax, zeros_frac, small)
     snode_rows = [rows[rows_ptr[k]: rows_ptr[k + 1]].copy() for k in range(nsuper)]
     return _finish(n, perm2, parent, snode_ptr, snode_rows)
 
 
 def analyze_python(A_csr: sp.csr_matrix, perm: np.ndarray, relax: int = 16,
                    zeros_frac: float = 0.3, small: int = 16) -> SymbolicFactor:
+    if A_csr.shape[0] == 0:  # native path guards this; mirror it here
+        return _finish(0, perm, np.zeros(0, np.int64), np.array([0]), [])
     """Pure-Python symbolic analysis (fallback + validation oracle)."""
     n = A_csr.shape[0]
     ip, ix = _permuted_pattern(A_csr, perm)

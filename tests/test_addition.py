@@ -75,3 +75,19 @@ def test_addition_plan_reuse(be4):
     _ = Ad + Bd
     _ = (Ad * 2.0) + (Bd * 3.0)  # same structures
     assert hl.cache_sizes().get("addition_plan", 0) == n0 + 1
+
+
+def test_complex_shift_of_real_matrix(be4):
+    """A + 1j*I on a real matrix must promote to complex (shift-invert
+    pattern), in both the structure-sharing fast path and the expansion
+    path."""
+    A = sp.eye(12).tocsr() * 2.0
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    C = Ad.add_identity(1j)
+    assert np.issubdtype(C.dtype, np.complexfloating)
+    assert np.allclose(C.to_scipy().toarray(), A.toarray() + 1j * np.eye(12))
+    # expansion path: no structural diagonal
+    B = sp.csr_matrix(np.diag(np.ones(11), 1))
+    Bd = hl.DistSparseMatrix.from_scipy(B, be4)
+    D = Bd.add_identity(2j)
+    assert np.allclose(D.to_scipy().toarray(), B.toarray() + 2j * np.eye(12))

@@ -494,3 +494,17 @@ def test_solve_matrix_after_finalize_raises(be4):
     B = hl.DistDenseMatrix.from_global(np.ones((25, 3)), be4)
     with pytest.raises(RuntimeError, match="finalized"):
         F.solve_matrix(B)
+
+
+def test_small_magnitude_matrix_solves(be4):
+    """Relative perturbation threshold: a well-conditioned SPD matrix
+    scaled to 1e-16 magnitude must solve accurately (the old 1.0 floor on
+    anorm perturbed EVERY pivot and returned ~100%-wrong answers)."""
+    A = (laplace2d(10) * 1e-16).tocsr()
+    b = rand_vector(100) * 1e-16
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    x = hl.ldlt(Ad).solve(hl.DistVector.from_global(b, be4)).to_numpy()
+    assert _resid(A, x, b) < 1e-10
+    xd = hl.ldlt(Ad, method="device", spd=True).solve(
+        hl.DistVector.from_global(b, be4)).to_numpy()
+    assert _resid(A, xd, b) < 1e-10
