@@ -75,25 +75,11 @@ def _blas_path() -> str | None:
 
 @lru_cache(maxsize=1)
 def load_mf():
-    so = os.path.join(_NATIVE_DIR, "libhpcmf.so")
-    src = os.path.join(_NATIVE_DIR, "mf.cpp")
-    if (not os.path.exists(so)) or (
-        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
-    ):
-        if not os.path.exists(src):
-            return None
-        try:
-            subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                            "-o", so, src, "-ldl"],
-                           check=True, capture_output=True)
-        except Exception:
-            return None
+    lib = build_native_lib("hpcmf", "mf.cpp", extra=("-ldl",))
+    if lib is None:
+        return None
     blas = _blas_path()
     if blas is None:
-        return None
-    try:
-        lib = ctypes.CDLL(so)
-    except OSError:
         return None
     lib.mf_init.argtypes = [ctypes.c_char_p]
     lib.mf_init.restype = ctypes.c_int

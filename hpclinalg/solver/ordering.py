@@ -11,45 +11,28 @@ the native library is unavailable.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 from functools import lru_cache
 
 from collections import deque
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-
-
 @lru_cache(maxsize=1)
 def _load_amd():
-    so = os.path.abspath(os.path.join(_NATIVE_DIR, "libhpcamd.so"))
-    src = os.path.abspath(os.path.join(_NATIVE_DIR, "amd.cpp"))
-    if not os.path.exists(so) or (
-        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
-    ):
-        if not os.path.exists(src):
-            return None
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
-                check=True, capture_output=True,
-            )
-        except Exception:
-            return None
-    try:
-        lib = ctypes.CDLL(so)
-        lib.amd_order.argtypes = [
-            ctypes.c_int64,
-            np.ctypeslib.ndpointer(np.int64, flags="C"),
-            np.ctypeslib.ndpointer(np.int64, flags="C"),
-            np.ctypeslib.ndpointer(np.int64, flags="C"),
-        ]
-        lib.amd_order.restype = ctypes.c_int
-        return lib
-    except OSError:
+    """AMD kernel (native/amd.cpp) via the shared native build/load helper."""
+    from .native import build_native_lib
+
+    lib = build_native_lib("hpcamd", "amd.cpp")
+    if lib is None:
         return None
+    lib.amd_order.argtypes = [
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+        np.ctypeslib.ndpointer(np.int64, flags="C"),
+    ]
+    lib.amd_order.restype = ctypes.c_int
+    return lib
 
 
 def symmetrize_pattern(indptr, indices, n):
