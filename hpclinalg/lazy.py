@@ -119,9 +119,16 @@ class LazyTranspose:
         mat = self.parent
         if hasattr(mat, "to_scipy"):
             return mat.to_scipy().T
-        return mat.to_numpy().T
+        arr = mat.to_numpy()
+        if arr.ndim == 1:  # row vector: match self.shape == (1, n)
+            return arr.reshape(1, -1)
+        return arr.T
 
     def to_scipy(self):
+        if not hasattr(self.parent, "to_scipy"):
+            raise TypeError(
+                f"to_scipy is only available for sparse parents, "
+                f"not {type(self.parent).__name__}; use to_numpy()")
         return self.parent.to_scipy().T.tocsr()
 
     def __repr__(self):

@@ -71,7 +71,6 @@ def _filter_structure(A, keep_fn):
     def build():
         indptr, col_indices, colval = [], [], []
         send = []
-        max_nnz = 0
         for s in range(S):
             r, c = st.global_coo[s]
             msk = keep_fn(r, c)
@@ -85,7 +84,6 @@ def _filter_structure(A, keep_fn):
             ci = np.unique(ck)
             col_indices.append(ci)
             colval.append(np.searchsorted(ci, ck).astype(np.int32))
-            max_nnz = max(max_nnz, len(pos))
         new_st = SparseStructure(st.row_partition, st.col_partition, indptr,
                                  col_indices, colval, A.backend)
         sends = [[send[s] if d == s else np.zeros(0, np.int64) for d in range(S)]

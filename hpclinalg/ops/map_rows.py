@@ -13,10 +13,19 @@ vector of a partition.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+@lru_cache(maxsize=256)
+def _mapped_fn(fn):
+    """One jitted double-vmap per user function: wrapping fn in fresh
+    vmap/jit objects per call would miss jit's cache and recompile every
+    invocation (minutes-scale through the remote TPU compiler)."""
+    return jax.jit(jax.vmap(jax.vmap(fn)))
 
 
 def map_rows(fn, *args, out_dtype=None):
@@ -43,7 +52,9 @@ def map_rows(fn, *args, out_dtype=None):
     datas = [a.data for a in aligned]
 
     # vmap over shard axis then over row axis
-    mapped = jax.jit(jax.vmap(jax.vmap(fn)))(*datas)
+    mapped = _mapped_fn(fn)(*datas)
+    if out_dtype is not None:
+        mapped = mapped.astype(out_dtype)
     if mapped.ndim == 2:
         # scalar per row -> vector; re-zero padding (fn(0,...) may be nonzero)
         from ..vector import DistVector as DV

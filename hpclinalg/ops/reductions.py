@@ -17,16 +17,36 @@ from ..cache import cached_plan
 from ..partition import padded_size
 
 
+from functools import lru_cache, partial
+
+
+@lru_cache(maxsize=None)
+def _segsum_rows_fn(Lrow: int):
+    # one compiled kernel per Lrow — a per-call closure would recompile
+    # every reduction (opnorm in a loop pays a remote compile per step)
+    @jax.jit
+    def run(vals, ri):
+        return jax.vmap(partial(jax.ops.segment_sum, num_segments=Lrow,
+                                indices_are_sorted=True))(vals, ri)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _segsum_cols_fn(Gpad: int):
+    @jax.jit
+    def run(vals, cv):
+        return jax.vmap(partial(jax.ops.segment_sum, num_segments=Gpad))(
+            vals, cv)
+
+    return run
+
+
 def _row_reduce(A, vals):
     from ..vector import DistVector
 
     st = A.structure
-
-    def one(v, ri):
-        return jax.ops.segment_sum(v, ri, num_segments=st.Lrow,
-                                   indices_are_sorted=True)
-
-    y = jax.jit(jax.vmap(one))(vals, st.row_ids_dev)
+    y = _segsum_rows_fn(st.Lrow)(vals, st.row_ids_dev)
     return DistVector(y, st.row_partition, A.backend)
 
 
@@ -43,10 +63,7 @@ def _col_reduce(A, vals):
 
     st = A.structure
 
-    def one(v, cv):
-        return jax.ops.segment_sum(v, cv, num_segments=st.Gpad)
-
-    partial_ = jax.jit(jax.vmap(one))(vals, st.colval_dev)
+    partial_ = _segsum_cols_fn(st.Gpad)(vals, st.colval_dev)
 
     def build():
         # src "partition" is positional: shard s holds len(col_indices[s])
@@ -59,23 +76,13 @@ def _col_reduce(A, vals):
 
 
 def scatter_exchange_plan_positional(A):
-    from ..parallel.exchange import ExchangePlan
-    from ..partition import global_to_local
+    """Positional scatter of per-shard partial sums to the owners of the
+    global column ids — exactly gather.py's scatter contract."""
+    from .gather import scatter_exchange_plan
 
     st = A.structure
-    S = A.backend.nshards
-    send = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
-    recv = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
-    for s in range(S):
-        ids = st.col_indices[s]
-        owners, loc = global_to_local(st.col_partition, ids)
-        pos = np.arange(len(ids), dtype=np.int64)
-        for d in range(S):
-            m = owners == d
-            if m.any():
-                send[s][d] = pos[m]
-                recv[d][s] = loc[m]
-    return ExchangePlan(A.backend, send, recv, padded_size(st.col_partition))
+    return scatter_exchange_plan(A.backend, st.row_partition,
+                                 st.col_indices, st.col_partition)
 
 
 def col_sum(A):

@@ -59,6 +59,8 @@ def repartition_dense(A, new_partition: np.ndarray):
     from ..dense import DistDenseMatrix
 
     p2 = validate_partition(new_partition, A.m)
+    if nshards_of(p2) != A.backend.nshards:
+        raise ValueError("new partition must have the same shard count as the mesh")
     if partition_hash(p2) == A.row_partition_hash:
         return A
     plan = get_repartition_plan(A.backend, A.row_partition, p2)

@@ -66,6 +66,10 @@ def repartition_sparse(A, new_row_partition):
     from ..sparse import DistSparseMatrix
 
     p2 = validate_partition(new_row_partition, A.m)
+    from ..partition import nshards_of
+
+    if nshards_of(p2) != A.backend.nshards:
+        raise ValueError("new partition must have the same shard count as the mesh")
     if partition_hash(p2) == A.row_partition_hash:
         return A
     key = (A.hash, partition_hash(p2), A.backend.key)

@@ -9,8 +9,6 @@ host round-trip, no full-matrix materialization.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,11 +20,14 @@ from ..hashing import partition_hash
 from ..partition import padded_size, partition_sizes
 
 
-@lru_cache(maxsize=None)
 def _transpose_fn(mesh, col_bounds: tuple, maxW: int, out_L: int,
-                  row_idx: tuple):
+                  row_idx: np.ndarray):
     """col_bounds: col_partition boundaries; row_idx: flat (m,) map from
-    global row -> slot in the concatenated (S*Lrow) source-row axis."""
+    global row -> slot in the concatenated (S*Lrow) source-row axis.
+
+    NOT lru_cached on row_idx: an m-element tuple key costs O(m) hashing
+    per call and ~10s of MB retained per pattern. The caller memoizes the
+    built function in the plan cache keyed by the structural hashes."""
     S = len(col_bounds) - 1
     idx = jnp.asarray(np.asarray(row_idx, dtype=np.int32))
 
@@ -71,10 +72,9 @@ def dense_transpose(A):
         ).astype(np.int32) if len(sizes) else np.zeros(0, np.int32)
         maxW = int(partition_sizes(cp).max())
         out_L = padded_size(cp)
-        return (tuple(int(b) for b in cp), maxW, out_L,
-                tuple(row_idx.tolist()))
+        return _transpose_fn(be.mesh, tuple(int(b) for b in cp), maxW,
+                             out_L, row_idx)
 
-    col_bounds, maxW, out_L, row_idx = cached_plan("dense_transpose", key, build)
-    fn = _transpose_fn(be.mesh, col_bounds, maxW, out_L, row_idx)
+    fn = cached_plan("dense_transpose", key, build)
     data = fn(A.data)
     return DistDenseMatrix(data, cp, A.m, be, col_partition=A.row_partition)

@@ -3,6 +3,7 @@ mirrors test_new_operations.jl, test_map_rows.jl, test_local_constructors.jl,
 test_utilities.jl."""
 
 import numpy as np
+import pytest
 import scipy.sparse as sp
 
 import hpclinalg as hl
@@ -135,3 +136,21 @@ def test_hashing_identities(be4):
     Bd = hl.DistSparseMatrix.from_scipy(B, be4)
     assert Ad1.hash != Bd.hash
     assert (Ad1 * 2.0).hash == Ad1.hash  # value change preserves structure
+
+
+def test_lazy_transpose_converters(be4):
+    v = hl.DistVector.from_global(np.arange(5.0), be4)
+    rt = v.T
+    arr = rt.to_numpy()
+    assert arr.shape == rt.shape == (1, 5)
+    M = hl.DistDenseMatrix.from_global(np.arange(6.0).reshape(3, 2), be4)
+    with pytest.raises(TypeError, match="to_scipy"):
+        M.T.to_scipy()
+    assert M.T.to_numpy().shape == (2, 3)
+
+
+def test_map_rows_out_dtype(be4):
+    v = hl.DistVector.from_global(np.arange(8.0), be4)
+    w = hl.map_rows(lambda x: x * 2, v, out_dtype=np.float32)
+    assert w.dtype == np.float32
+    assert np.allclose(w.to_numpy(), np.arange(8.0) * 2)

@@ -1,6 +1,8 @@
 """Repartition plans — mirrors test_repartition.jl."""
 
 import numpy as np
+import pytest
+import scipy.sparse as sp
 
 import hpclinalg as hl
 from utils import assert_close, assert_padding_zero, random_sparse, rand_vector
@@ -61,3 +63,15 @@ def test_repartition_noop_is_same_object(be4):
     x = rand_vector(16)
     v = hl.DistVector.from_global(x, be4)
     assert v.repartition(v.partition) is v
+
+
+def test_repartition_wrong_shard_count_raises(be4):
+    """A partition with a different shard count than the mesh must raise
+    for ALL three containers (rows silently vanished for dense/sparse)."""
+    bad = np.array([0, 3, 6, 12])  # 3 shards on a 4-shard mesh
+    v = hl.DistVector.from_global(np.arange(12.0), be4)
+    M = hl.DistDenseMatrix.from_global(np.ones((12, 2)), be4)
+    A = hl.DistSparseMatrix.from_scipy(sp.eye(12).tocsr(), be4)
+    for obj in (v, M, A):
+        with pytest.raises(ValueError, match="shard count"):
+            obj.repartition(bad)
