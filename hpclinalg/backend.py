@@ -47,8 +47,10 @@ class Backend:
 
     @cached_property
     def key(self) -> tuple:
-        """Hashable identity for plan-cache keys."""
-        dev = tuple(d.id for d in self.mesh.devices.flat)
+        """Hashable identity for plan-cache keys. Device ids are only
+        unique per platform (CpuDevice and TpuDevice ids both start at 0),
+        so the platform is part of the identity."""
+        dev = tuple((d.platform, d.id) for d in self.mesh.devices.flat)
         return (dev, np.dtype(self.dtype).str, np.dtype(self.index_dtype).str)
 
     def row_sharding(self, extra_dims: int = 0) -> NamedSharding:

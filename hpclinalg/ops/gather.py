@@ -71,4 +71,8 @@ def scatter_exchange_plan(
                 recv[d][s] = loc[m]
     from ..partition import padded_size
 
-    return ExchangePlan(backend, send, recv, padded_size(dst_partition))
+    # src_sizes enables the identity/prefix fast tiers (a shard shipping
+    # its whole block to a contiguous run — the cat/vcat layout — becomes
+    # one dynamic_update_slice instead of an element scatter)
+    return ExchangePlan(backend, send, recv, padded_size(dst_partition),
+                        src_sizes=partition_sizes(src_partition))

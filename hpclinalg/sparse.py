@@ -67,13 +67,14 @@ class SparseStructure:
 
     @cached_property
     def hash(self) -> str:
-        """Ref: compute_structural_hash (sparse.jl:97-121) — here pure local."""
-        h = hashlib.blake2b(digest_size=DIGEST_SIZE)
-        h.update(partition_hash(self.row_partition).encode())
-        h.update(partition_hash(self.col_partition).encode())
-        for s in range(len(self.indptr)):
-            h.update(_h(self.indptr[s], self.col_indices[s], self.colval[s]).encode())
-        return h.hexdigest()
+        """Ref: compute_structural_hash (sparse.jl:97-121) — here pure
+        local. Delegates to the public hashing function so the identity
+        keying the plan caches IS the exported one."""
+        from .hashing import sparse_structural_hash
+
+        return sparse_structural_hash(self.row_partition, self.col_partition,
+                                      self.indptr, self.col_indices,
+                                      self.colval)
 
     @cached_property
     def row_ids_dev(self) -> jax.Array:

@@ -39,7 +39,9 @@ struct ProfT {
   ProfT(int s): slot(s), t0(std::chrono::high_resolution_clock::now()) {}
   ~ProfT(){ tAcc[slot] += std::chrono::duration<double>(std::chrono::high_resolution_clock::now()-t0).count(); }
 };
-#define PROF(slot) ProfT _pt##__LINE__(slot)
+#define PROF_CAT2(a, b) a##b
+#define PROF_CAT(a, b) PROF_CAT2(a, b)
+#define PROF(slot) ProfT PROF_CAT(_pt, __LINE__)(slot)
 extern "C" void mf_prof_dump() {
   const char* names[8] = {"zeroF","assembleA","extendadd","panel","trsm/L21","schur","alloc","other"};
   for (int i=0;i<8;++i) if (tAcc[i]>0) fprintf(stderr, "  %-10s %.3f ms\n", names[i], tAcc[i]*1e3);
@@ -90,13 +92,19 @@ static zgemm_t zgemm_p; static ztrsm_t ztrsm_p; static zgemv_t zgemv_p; static z
 typedef void (*set_threads_t)(int);
 
 extern "C" int mf_init(const char *blas_path) {
-  void *h = dlopen(blas_path, RTLD_NOW | RTLD_GLOBAL);
+  // RTLD_LOCAL: every symbol is resolved via dlsym below; injecting
+  // dgemm_ etc. into the global namespace could rebind other libraries'
+  // BLAS lookups to this one
+  void *h = dlopen(blas_path, RTLD_NOW | RTLD_LOCAL);
   if (!h) return -1;
   // engage OpenBLAS threading for the large frontal GEMMs (MUMPS gets the
-  // same effect from OPENBLAS_NUM_THREADS; guide.md:218-252)
+  // same effect from OPENBLAS_NUM_THREADS; guide.md:218-252). Respect an
+  // explicit OPENBLAS_NUM_THREADS: this is scipy's own bundled OpenBLAS,
+  // and overriding it silently would change the user's scipy threading
+  // (and oversubscribe multi-process-per-host deployments).
   auto st = (set_threads_t)dlsym(h, "scipy_openblas_set_num_threads");
   if (!st) st = (set_threads_t)dlsym(h, "openblas_set_num_threads");
-  if (st) {
+  if (st && !getenv("OPENBLAS_NUM_THREADS")) {
     long nc = sysconf(_SC_NPROCESSORS_ONLN);
     st((int)(nc > 0 ? nc : 1));
   }
@@ -181,7 +189,7 @@ static i64 factorize_full(
 
   // classic multifrontal update stack: postorder makes child Schur
   // complements LIFO, so one arena replaces per-front malloc/free
-  i64 peak = 0, top_sim = 0, max_nrnc = 0, max_nf = 0;
+  i64 peak = 0, top_sim = 0, max_nrnc = 0;
   {
     std::vector<i64> off_sim(ns, 0);
     for (i64 k = 0; k < ns; ++k) {
@@ -194,7 +202,6 @@ static i64 factorize_full(
       top_sim += nrk * nrk;
       peak = std::max(peak, top_sim);
       max_nrnc = std::max(max_nrnc, nrk * nck);
-      max_nf = std::max(max_nf, nrk + nck);
     }
   }
   std::vector<T> arena((size_t)std::max<i64>(peak, 1));

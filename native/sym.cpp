@@ -140,7 +140,6 @@ i64 sym_snode_rows(i64 n, i64 ns, const i64 *Ap, const i64 *Ai,
   // supernode tree children (parent = snode of first below-block row, found
   // after rows are known — so we process in order and rely on postorder:
   // children have smaller index than parents)
-  i64 total = 0;
   for (i64 k = 0; k < ns; ++k) {
     const i64 j0 = snode_ptr[k], j1 = snode_ptr[k + 1];
     std::vector<i64> &R = srows[k];
@@ -155,7 +154,6 @@ i64 sym_snode_rows(i64 n, i64 ns, const i64 *Ap, const i64 *Ai,
       }
     }
     R.shrink_to_fit();
-    total += (i64)R.size();
   }
   // child contributions: child rows >= parent block end
   // parent of child c = snode_of[first row of c]; do a second pass now that
