@@ -550,17 +550,33 @@ static void solve_impl(
         for (i64 j = 0; j < nc; ++j) y[j0 + j] /= D[j0 + j];
     }
   } else {
-    // LU transpose: forward with U^T (lower, non-unit); off-block U12^T
+    // LU transpose: forward with U^T (lower, non-unit); off-block U12^T.
+    // Small fronts take the hand kernels like every other sweep — after
+    // AMD a 2D mesh has thousands of ~12-wide supernodes where BLAS
+    // dispatch overhead dominates.
     for (i64 k = 0; k < ns; ++k) {
       const i64 j0 = snode_ptr[k], nc = snode_ptr[k + 1] - j0;
       const i64 r0 = rows_ptr[k], nr = rows_ptr[k + 1] - r0;
-      Blas<T>::trsv('U', 'T', 'N', (blasint)nc, &U11[l11_off[k]], (blasint)nc,
-                    &y[j0], 1);
+      if (nc * nc <= kSmallSolve) {
+        // non-unit U^T forward substitution (col-major U11)
+        const T *U0 = &U11[l11_off[k]];
+        for (i64 j = 0; j < nc; ++j) {
+          const T *col = &U0[(size_t)j * nc];
+          T acc = y[j0 + j];
+          for (i64 i = 0; i < j; ++i) acc -= col[i] * y[j0 + i];
+          y[j0 + j] = acc / col[j];
+        }
+      } else
+        Blas<T>::trsv('U', 'T', 'N', (blasint)nc, &U11[l11_off[k]],
+                      (blasint)nc, &y[j0], 1);
       if (nr > 0) {
         tmp.assign((size_t)nr, T(0));
         // y[rows] -= U12^T y[j0:j1]: U12 is (nc x nr) col-major
-        Blas<T>::gemv('T', (blasint)nc, (blasint)nr, T(1), &U12[l21_off[k]],
-                      (blasint)nc, &y[j0], 1, T(0), tmp.data(), 1);
+        if (nr * nc <= kSmallSolve)
+          gemv_t(nc, nr, &U12[l21_off[k]], &y[j0], tmp.data());
+        else
+          Blas<T>::gemv('T', (blasint)nc, (blasint)nr, T(1), &U12[l21_off[k]],
+                        (blasint)nc, &y[j0], 1, T(0), tmp.data(), 1);
         for (i64 t = 0; t < nr; ++t) y[rows[r0 + t]] -= tmp[t];
       }
     }
