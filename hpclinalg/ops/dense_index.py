@@ -7,6 +7,8 @@ row block)."""
 
 from __future__ import annotations
 
+from functools import lru_cache, partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -53,18 +55,18 @@ def dense_getindex(A, key):
     if isinstance(ckey, slice):
         c0, c1, cst = _normalize_slice(ckey, n)
         cids = np.arange(c0, c1, cst, dtype=np.int64)
-        ctag = ("slice", c0, c1, cst)
     elif isinstance(ckey, DistVector):
         cids = v_to_int_host(ckey)
         check_ids_bounds(cids, n)
-        ctag = ("vec", _h(cids))
     elif isinstance(ckey, (list, np.ndarray)):
         cids = np.asarray(ckey, dtype=np.int64)
         check_ids_bounds(cids, n)
-        ctag = ("arr", _h(cids))
     elif isinstance(ckey, (int, np.integer)):
-        # A[:, k] -> column as DistVector (ref indexing.jl:872)
-        col = jax.jit(lambda d: d[:, :, int(ckey)])(A.data)
+        # A[:, k] -> column as DistVector (ref indexing.jl:872). Bounds
+        # checked: JAX clamps OOB gathers, so A[:, ncols+5] would silently
+        # return the LAST column.
+        check_ids_bounds(np.array([int(ckey)]), n)
+        col = _take_col_fn(int(ckey))(A.data)
         v = DistVector(col, A.row_partition, A.backend)
         return dense_getindex_rows(v, rids, rtag, rslice, A)
     else:
@@ -85,8 +87,18 @@ def dense_getindex(A, key):
     )
     rows = plan.apply(A.data)  # (S, L2, ncols)
     cols_dev = jnp.asarray(cids, dtype=jnp.int32)
-    out = jax.jit(lambda r, c: jnp.take(r, c, axis=2))(rows, cols_dev)
+    out = _take_cols(rows, cols_dev)
     return DistDenseMatrix(out, rp2, len(cids), A.backend)
+
+
+@lru_cache(maxsize=None)
+def _take_col_fn(k: int):
+    return jax.jit(lambda d: d[:, :, k])
+
+
+@jax.jit
+def _take_cols(rows, cols):
+    return jnp.take(rows, cols, axis=2)
 
 
 def dense_getindex_rows(v, rids, rtag, rslice, A):

@@ -54,7 +54,7 @@ def ell_policy_would_accept(backend, st, Gpad: int) -> bool:
         platform = backend.mesh.devices.flat[0].platform
     except Exception:
         return False
-    if platform in ("cpu",):
+    if platform not in ("tpu", "axon"):  # pltpu kernel: TPU only
         return False
     if Gpad * 4 > VMEM_X_BYTES or st.nnz < MIN_NNZ:
         return False
@@ -77,9 +77,9 @@ def ell_pack(A, plan):
     table, both cached."""
     st = A.structure
     S = A.backend.nshards
-    W = _ell_width(st)
-    zero_slot = plan.exchange.out_pad - 1  # guaranteed-zero gathered slot
 
+    # cache FIRST: _ell_width is an O(total rows) host scan, and it plus
+    # zero_slot were previously recomputed on every cache HIT
     cache = getattr(A, "_engine_cache", None)
     if cache is None:
         cache = A._engine_cache = {}
@@ -88,20 +88,9 @@ def ell_pack(A, plan):
     if hit is not None:
         return hit
 
+    W = _ell_width(st)
+    zero_slot = plan.exchange.out_pad - 1  # guaranteed-zero gathered slot
     cols = np.full((S, st.Lrow, W), zero_slot, dtype=np.int32)
-    vals = np.zeros((S, st.Lrow, W), dtype=np.float32)
-    for s in range(S):
-        ip = st.indptr[s]
-        nl = len(ip) - 1
-        if not nl:
-            continue
-        lens = np.diff(ip)
-        rows_l = np.repeat(np.arange(nl), lens)
-        within = np.arange(len(rows_l)) - np.repeat(ip[:-1], lens)
-        cols[s, rows_l, within] = st.colval[s]
-        vals[s, rows_l, within] = 1.0  # placeholder; refreshed below
-    cols_dev = jax.device_put(cols, A.backend.row_sharding(1))
-    # value table: scatter nzval into the same (Lrow, W) slots
     scat = np.full((S, st.NNZpad), st.Lrow * W, dtype=np.int32)
     for s in range(S):
         ip = st.indptr[s]
@@ -111,7 +100,10 @@ def ell_pack(A, plan):
         lens = np.diff(ip)
         rows_l = np.repeat(np.arange(nl), lens)
         within = np.arange(len(rows_l)) - np.repeat(ip[:-1], lens)
+        cols[s, rows_l, within] = st.colval[s]
         scat[s, : st.nnz_local[s]] = rows_l * W + within
+    cols_dev = jax.device_put(cols, A.backend.row_sharding(1))
+    # value table: scatter nzval into the same (Lrow, W) slots
     from .spmv import _dia_build
 
     zeros = jax.device_put(jnp.zeros((S, st.Lrow * W), jnp.float32),

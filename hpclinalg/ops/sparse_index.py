@@ -52,11 +52,18 @@ def sparse_getindex(A, key):
     # A[rows, k] -> DistVector (ref: A[:,k], indexing.jl:385); the row case
     # A[k, cols] is the transpose analogue
     if isinstance(ckey, (int, np.integer)) and not isinstance(rkey, (int, np.integer)):
+        from .indexing import check_ids_bounds
+
+        check_ids_bounds(np.array([int(ckey)]), n)  # A[:, -1]/A[:, n+5]
+        # previously normalized to an EMPTY slice and returned zeros
         col = sparse_getindex(A, (rkey, slice(int(ckey), int(ckey) + 1)))
         from .reductions import row_sum
 
         return row_sum(col)
     if isinstance(rkey, (int, np.integer)) and not isinstance(ckey, (int, np.integer)):
+        from .indexing import check_ids_bounds
+
+        check_ids_bounds(np.array([int(rkey)]), m)
         row = sparse_getindex(A, (slice(int(rkey), int(rkey) + 1), ckey))
         from .reductions import col_sum
 

@@ -69,6 +69,22 @@ class _CSCView:
         self.indptr, self.indices, self.data = indptr, indices, data
 
 
+class Symmetric:
+    """Marker asserting symmetry for solves — the analogue of wrapping in
+    LinearAlgebra.Symmetric before backslash (ref: Base.:\\ on Symmetric,
+    HPCLinearAlgebra.jl:674)."""
+
+    def __init__(self, A):
+        self.A = A
+
+    def __matmul__(self, o):
+        return self.A @ o
+
+    @property
+    def shape(self):
+        return self.A.shape
+
+
 class Factorization:
     """LDLᵀ/LU factorization handle (ref: MUMPSFactorization,
     mumps_factorization.jl:42)."""
@@ -378,7 +394,6 @@ def solve(A, b, symmetric: bool | None = None):
     hl.Symmetric asserts symmetry; a LazyTranspose solves the transposed
     system (ref: transpose/adjoint solve, test_factorization.jl)."""
     from ..lazy import LazyTranspose
-    from ..utils.warmup import Symmetric
 
     if isinstance(A, Symmetric):
         return BackslashCache.solve(A.A, b, symmetric=True)

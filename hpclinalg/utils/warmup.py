@@ -12,20 +12,7 @@ import numpy as np
 import scipy.sparse as sp
 
 
-class Symmetric:
-    """Marker asserting symmetry for solves — the analogue of wrapping in
-    LinearAlgebra.Symmetric before backslash (ref: Base.:\\ on Symmetric,
-    HPCLinearAlgebra.jl:674)."""
-
-    def __init__(self, A):
-        self.A = A
-
-    def __matmul__(self, o):
-        return self.A @ o
-
-    @property
-    def shape(self):
-        return self.A.shape
+from ..solver.api import Symmetric  # noqa: F401 (re-export; lives with solve)
 
 
 def warmup(backend) -> None:

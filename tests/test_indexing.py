@@ -262,3 +262,21 @@ def test_setindex_complex_into_real_raises(be4):
         A[[0], [0]] = 1 + 2j
     with pytest.raises(TypeError):
         M[[0], [0]] = 1 + 2j
+
+
+def test_int_index_bounds_checked(be4):
+    """Scalar row/column indices: negative and OOB must raise (sparse
+    previously normalized to an EMPTY slice and returned zeros; dense was
+    clamped by JAX to the last column)."""
+    A = hl.DistSparseMatrix.from_scipy(sp.eye(8).tocsr(), be4)
+    M = hl.DistDenseMatrix.from_global(np.arange(32.0).reshape(8, 4), be4)
+    for bad in (-1, 8):
+        with pytest.raises(IndexError):
+            A[:, bad]
+        with pytest.raises(IndexError):
+            A[bad, :]
+    for bad in (-1, 4):
+        with pytest.raises(IndexError):
+            M[:, bad]
+    # valid int column still works
+    assert np.allclose(M[:, 2].to_numpy(), np.arange(32.0).reshape(8, 4)[:, 2])
