@@ -221,6 +221,21 @@ def _dia_values(A, plan: SpMVPlan) -> jax.Array:
     return dval
 
 
+def _pad_trunc(gathered, pad_to: int):
+    """Truncate-or-pad the gathered buffer's slot axis (axis 1) to pad_to
+    (0 = leave unchanged). One shared preamble for every exec kernel —
+    handles both (S, L) and (S, L, k) payloads."""
+    if not pad_to:
+        return gathered
+    L = gathered.shape[1]
+    if pad_to < L:
+        return gathered[:, :pad_to]
+    if pad_to > L:
+        pad = [(0, 0), (0, pad_to - L)] + [(0, 0)] * (gathered.ndim - 2)
+        return jnp.pad(gathered, pad)
+    return gathered
+
+
 @lru_cache(maxsize=None)
 def _dia_exec(offsets: tuple, Lrow: int, bias_lo: int, bias_hi: int,
               pad_to: int = 0):
@@ -233,12 +248,7 @@ def _dia_exec(offsets: tuple, Lrow: int, bias_lo: int, bias_hi: int,
     @jax.jit
     def run(dval, gathered):
         # dval: (S, O, Lrow); gathered: (S, Gpad) padding-zero
-        if pad_to:
-            L = gathered.shape[1]
-            if pad_to < L:
-                gathered = gathered[:, :pad_to]
-            elif pad_to > L:
-                gathered = jnp.pad(gathered, ((0, 0), (0, pad_to - L)))
+        gathered = _pad_trunc(gathered, pad_to)
         dt = jnp.result_type(dval.dtype, gathered.dtype)
         dval = dval.astype(dt)
         gathered = gathered.astype(dt)
@@ -276,12 +286,7 @@ def _dense_block(A, plan) -> jax.Array:
 def _densified_exec(pad_to: int = 0):
     @jax.jit
     def run(blk, gathered):
-        if pad_to:
-            L = gathered.shape[1]
-            if pad_to < L:
-                gathered = gathered[:, :pad_to]
-            elif pad_to > L:
-                gathered = jnp.pad(gathered, ((0, 0), (0, pad_to - L)))
+        gathered = _pad_trunc(gathered, pad_to)
         dt = jnp.result_type(blk.dtype, gathered.dtype)
         return jnp.einsum("slg,sg->sl", blk.astype(dt), gathered.astype(dt),
                           precision=jax.lax.Precision.HIGHEST)
@@ -321,12 +326,7 @@ def _ell_exec(Lrow: int, W: int, Tpad: int, pad_to: int = 0):
 
     @jax.jit
     def run(vals, cols, tvals, trows, tgidx, gathered):
-        if pad_to:
-            L = gathered.shape[1]
-            if pad_to < L:
-                gathered = gathered[:, :pad_to]
-            elif pad_to > L:
-                gathered = jnp.pad(gathered, ((0, 0), (0, pad_to - L)))
+        gathered = _pad_trunc(gathered, pad_to)
         dt = jnp.result_type(vals.dtype, gathered.dtype)
 
         def one(v, c, g, *tail):
@@ -353,12 +353,7 @@ def _ell_spmm_exec(Lrow: int, W: int, Tpad: int, pad_to: int = 0):
 
     @jax.jit
     def run(vals, cols, tvals, trows, tgidx, gathered):
-        if pad_to:
-            L = gathered.shape[1]
-            if pad_to < L:
-                gathered = gathered[:, :pad_to]
-            elif pad_to > L:
-                gathered = jnp.pad(gathered, ((0, 0), (0, pad_to - L), (0, 0)))
+        gathered = _pad_trunc(gathered, pad_to)
         dt = jnp.result_type(vals.dtype, gathered.dtype)
         k = gathered.shape[-1]
 
