@@ -167,3 +167,19 @@ def test_device_mf_extend_add_matmul_on_chip(be1):
         dmf.EA_MATMUL = old
         hl.clear_plan_cache()
     assert np.allclose(xs[0], xs[1], rtol=2e-4, atol=2e-4)
+
+
+def test_device_multi_rhs_k_buckets_on_chip(be1):
+    """Multi-RHS device solve on the real chip: two widths in the same
+    k-bucket must share one solve executable and both meet f32 accuracy."""
+    A = laplace2d(20)  # n=400
+    rng = np.random.default_rng(11)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be1)
+    F = hl.ldlt(Ad, method="device", spd=True)
+    for k in (3, 6):  # both bucket to 8
+        B = rng.standard_normal((400, k))
+        Bd = hl.DistDenseMatrix.from_global(B, be1, dtype=np.float32)
+        X = F.solve_matrix(Bd).to_numpy()
+        r = np.linalg.norm(A @ X - B) / np.linalg.norm(B)
+        assert r < 5e-5, (k, r)
+    F.finalize()
