@@ -108,6 +108,9 @@ class DistDenseMatrix:
         """Ref converter Matrix() (HPCLinearAlgebra.jl:871-930)."""
         return gather_to_host(self.data, self.row_partition)
 
+    # uncached here, so read-only and writable paths coincide
+    to_numpy_ro = to_numpy
+
     def _like(self, data):
         return DistDenseMatrix(data, self.row_partition, self.ncols,
                                self.backend, self.col_partition)

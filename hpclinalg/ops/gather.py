@@ -73,6 +73,12 @@ def scatter_exchange_plan(
 
     # src_sizes enables the identity/prefix fast tiers (a shard shipping
     # its whole block to a contiguous run — the cat/vcat layout — becomes
-    # one dynamic_update_slice instead of an element scatter)
+    # one dynamic_update_slice instead of an element scatter). The payload
+    # here is POSITIONAL: shard s's valid length is len(dst_global_per_shard[s]),
+    # not its partition size — passing partition sizes would falsely qualify
+    # the prefix tier when a shard also has off-shard traffic, and the whole-
+    # block dynamic_update_slice would copy off-shard-destined entries into
+    # the output padding region, breaking the zero-padding invariant.
+    valid = [len(np.asarray(ids)) for ids in dst_global_per_shard]
     return ExchangePlan(backend, send, recv, padded_size(dst_partition),
-                        src_sizes=partition_sizes(src_partition))
+                        src_sizes=valid)

@@ -124,7 +124,7 @@ def check_ids_bounds(ids: np.ndarray, n: int) -> None:
 def v_to_int_host(key) -> np.ndarray:
     """Replicate a distributed integer index vector to host (ref:
     _gather_vector_to_all, indexing.jl:1821)."""
-    arr = key.to_numpy()
+    arr = key.to_numpy_ro()
     if not np.issubdtype(arr.dtype, np.integer):
         if np.issubdtype(arr.dtype, np.complexfloating):
             arr = arr.real  # index vectors on a complex backend store Re+0j

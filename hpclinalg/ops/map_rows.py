@@ -13,19 +13,45 @@ vector of a partition.
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@lru_cache(maxsize=256)
+def _fn_key(fn):
+    """Cache key for a user function: (code object, closure values,
+    defaults). Equivalent per-call lambdas/closures then share ONE
+    compilation instead of recompiling every invocation, and the cache no
+    longer pins dead function objects as keys. Unhashable closure values
+    (e.g. arrays) fall back to identity — same behavior as keying on the
+    function object itself."""
+    code = getattr(fn, "__code__", None)
+    if code is None:  # builtins, partials, callables — key on the object
+        return fn
+    cells = getattr(fn, "__closure__", None) or ()
+    try:
+        vals = tuple(c.cell_contents for c in cells)
+        hash(vals)
+    except Exception:
+        vals = tuple(id(c.cell_contents) for c in cells)
+    return (code, vals, getattr(fn, "__defaults__", None))
+
+
+_MAP_CACHE: dict = {}
+
+
 def _mapped_fn(fn):
     """One jitted double-vmap per user function: wrapping fn in fresh
     vmap/jit objects per call would miss jit's cache and recompile every
     invocation (minutes-scale through the remote TPU compiler)."""
-    return jax.jit(jax.vmap(jax.vmap(fn)))
+    key = _fn_key(fn)
+    hit = _MAP_CACHE.get(key)
+    if hit is None:
+        if len(_MAP_CACHE) >= 256:  # drop oldest entry (insertion order)
+            _MAP_CACHE.pop(next(iter(_MAP_CACHE)))
+        hit = _MAP_CACHE[key] = jax.jit(jax.vmap(jax.vmap(fn)))
+    return hit
 
 
 def map_rows(fn, *args, out_dtype=None):

@@ -241,7 +241,7 @@ def dense_setindex(M, key, value) -> None:
     if np.isscalar(value) or isinstance(value, (int, float, complex)):
         vals = np.full((len(rids), len(cids)), value)
     elif hasattr(value, "to_numpy"):
-        vals = value.to_numpy()
+        vals = value.to_numpy_ro()
     else:
         vals = np.asarray(value)
     if vals.shape != (len(rids), len(cids)):

@@ -65,7 +65,7 @@ def spdiagm(*diags, m: int | None = None, n: int | None = None, backend=None):
 
     rows, cols, vals = [], [], []
     for k, v in pairs:
-        h = v.to_numpy()
+        h = v.to_numpy_ro()
         i = np.arange(len(h), dtype=np.int64)
         r = i + max(0, -k)
         c = i + max(0, k)

@@ -185,7 +185,7 @@ class Factorization:
         if refine is None:
             refine = 1 if self.n_perturbed == 0 else 3
         is_dist = isinstance(b, DistVector)
-        bh = b.to_numpy() if is_dist else np.asarray(b)
+        bh = b.to_numpy_ro() if is_dist else np.asarray(b)
         dtype = np.result_type(bh.dtype, self.dtype)
         if (np.issubdtype(bh.dtype, np.complexfloating)
                 and not np.issubdtype(self.dtype, np.complexfloating)):
@@ -229,7 +229,7 @@ class Factorization:
         if refine is None:
             refine = 1 if self.n_perturbed == 0 else 3
         is_dist = isinstance(B, DistDenseMatrix)
-        Bh = B.to_numpy() if is_dist else np.asarray(B)
+        Bh = B.to_numpy_ro() if is_dist else np.asarray(B)
         dtype = np.result_type(Bh.dtype, self.dtype)
         if (np.issubdtype(Bh.dtype, np.complexfloating)
                 and not np.issubdtype(self.dtype, np.complexfloating)):

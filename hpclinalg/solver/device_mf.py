@@ -50,7 +50,19 @@ _PERT_REL = 1e-10  # relative static-pivot perturbation (matches host engine)
 # (~2^-21 relative error, ~2x faster). The engine runs HIGH for f32 —
 # the iterative refinement in the wrapper recovers full accuracy — and
 # HIGHEST for f64/complex (CPU mesh, where passes don't apply anyway).
+# Configurable via set_mm_precision(); solves with an explicit refine=0
+# warn, since they skip the refinement that HIGH relies on.
 MM_PRECISION = "high"
+
+
+def set_mm_precision(level: str) -> None:
+    """Set the frontal-matmul precision ('high' = bf16x3, ~2x faster f32
+    factors recovered by refinement; 'highest' = full f32). Affects factors
+    built AFTER the call (precision is baked into the compiled engine)."""
+    global MM_PRECISION
+    if level.lower() not in ("high", "highest"):
+        raise ValueError("mm precision must be 'high' or 'highest'")
+    MM_PRECISION = level.lower()
 
 
 def _mm_prec(dt=None):
@@ -1077,6 +1089,14 @@ class DeviceFactorization:
         X = self.engine.solve(self.factors, Bg, transpose=transpose)
         Xd = to_dist(X)
         if not refine:
+            if (MM_PRECISION == "high"
+                    and self.engine.dtype == jnp.float32):
+                import warnings
+                warnings.warn(
+                    "refine=0 with bf16x3 ('high') frontal matmuls returns "
+                    "~2^-21 relative accuracy; pass refine>=1 or call "
+                    "set_mm_precision('highest') before factorizing",
+                    stacklevel=4)
             return Xd
         Aop = self.A.T if transpose else self.A
         rtol = 50 * float(jnp.finfo(self.engine.dtype).eps)

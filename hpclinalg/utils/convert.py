@@ -17,7 +17,7 @@ def to_backend(x, backend):
     from ..vector import DistVector
 
     if isinstance(x, DistVector):
-        return DistVector.from_global(x.to_numpy(), backend, dtype=backend.dtype)
+        return DistVector.from_global(x.to_numpy_ro(), backend, dtype=backend.dtype)
     if isinstance(x, DistSparseMatrix):
         return DistSparseMatrix.from_scipy(x.to_scipy(), backend, dtype=backend.dtype)
     if isinstance(x, DistDenseMatrix):

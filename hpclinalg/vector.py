@@ -149,16 +149,22 @@ class DistVector:
 
     def to_numpy(self) -> np.ndarray:
         """Gather the full vector to host (ref converter Vector(),
-        HPCLinearAlgebra.jl:817-870). Cached per device buffer — jax arrays
-        are immutable, and in-place setindex swaps ``self.data``, so the id
-        check stays sound. Saves a relay round-trip for repeated solves with
-        the same RHS."""
+        HPCLinearAlgebra.jl:817-870). Returns a WRITABLE copy — users
+        commonly do ``x = F.solve(b); x += dx``. The device gather itself is
+        cached read-only (see to_numpy_ro); the host memcpy per call is cheap
+        next to the relay round-trip the cache saves."""
+        return self.to_numpy_ro().copy()
+
+    def to_numpy_ro(self) -> np.ndarray:
+        """Read-only cached gather — internal fast path for callers that only
+        read (converters, solver RHS staging). Cached per device buffer — jax
+        arrays are immutable, and in-place setindex swaps ``self.data``, so
+        the identity check stays sound."""
         cached = getattr(self, "_host_cache", None)
         if cached is not None and cached[0] is self.data:
             return cached[1]
         arr = gather_to_host(self.data, self.partition)
-        # read-only: callers mutating the returned array would otherwise
-        # poison every later cached read of the unchanged vector
+        # read-only: mutation would poison later cached reads
         arr.setflags(write=False)
         self._host_cache = (self.data, arr)
         return arr

@@ -180,3 +180,35 @@ def test_degenerate_shapes(be4):
     Td = hl.DistSparseMatrix.from_scipy(T, be4)
     Wd = hl.DistSparseMatrix.from_scipy(W, be4)
     assert_close((Td @ Wd).to_scipy().toarray(), (T @ W).toarray(), np.float64)
+
+
+def test_colsum_prefix_regression():
+    """Round-2 advisor high: scatter_exchange_plan passed partition sizes as
+    src_sizes, falsely qualifying the ExchangePlan 'prefix' self-mode whose
+    whole-block dynamic_update_slice copied off-shard-destined payload into
+    the output padding (col_sum over-counted: 84 instead of 82 on a 28x28
+    upper-bidiagonal over 2 shards). Valid payload lengths must be used."""
+    import scipy.sparse as sp
+
+    be2 = hl.backend_auto(nshards=2, dtype=np.float64)
+    n = 28
+    A = sp.diags([np.ones(n), np.ones(n - 1)], [0, 1], format="csr")
+    Ad = hl.DistSparseMatrix.from_scipy(sp.csr_matrix(A), be2)
+    cs = Ad.sum(axis=0)
+    assert_close(cs.to_numpy(), np.asarray(A.sum(axis=0)).ravel(), np.float64)
+    assert abs(float(cs.sum()) - A.sum()) < 1e-10
+    assert abs(float(cs.norm()) -
+               np.linalg.norm(np.asarray(A.sum(axis=0)).ravel())) < 1e-10
+
+
+def test_to_numpy_writable():
+    """Round-2 advisor low: to_numpy() must hand back a writable array (user
+    pattern ``x = F.solve(b); x += dx``); the cached gather stays frozen."""
+    be2 = hl.backend_auto(nshards=2, dtype=np.float64)
+    v = hl.DistVector.from_global(np.arange(8.0), be2)
+    a = v.to_numpy()
+    a += 1.0  # must not raise
+    # the cache itself is unpoisoned:
+    assert_close(v.to_numpy(), np.arange(8.0), np.float64)
+    ro = v.to_numpy_ro()
+    assert not ro.flags.writeable
