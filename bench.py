@@ -66,8 +66,9 @@ def _amortized_ms(fn, sync, K=32):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/hpclinalg_xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from hpclinalg.config import enable_compile_cache
+
+    enable_compile_cache()  # platform+machine-feature keyed dir
 
     import jax.numpy as jnp
 

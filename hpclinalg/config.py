@@ -35,12 +35,34 @@ def enable_compile_cache(path: str | None = None,
     reference's memoized backslash cache surviving the Julia session
     (HPCLinearAlgebra.jl:643-690 caches within one process; XLA's disk cache
     extends that across processes). The directory is scoped per backend
-    platform — a shared dir serves CPU AOT blobs compiled with another
-    host's machine features (XLA loads them with a SIGILL warning)."""
+    platform AND host machine features — a dir shared across hosts would
+    serve CPU AOT blobs compiled with another machine's vector extensions
+    (XLA loads them with a SIGILL-risk warning)."""
     if path is None:
-        path = f"/tmp/hpclinalg_xla_cache_{jax.default_backend()}"
+        path = (f"/tmp/hpclinalg_xla_cache_{jax.default_backend()}"
+                f"_{_machine_fingerprint()}")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
+
+
+def _machine_fingerprint() -> str:
+    """Short hash of the host CPU's model + feature flags, so persisted
+    XLA:CPU AOT blobs are never loaded on a host with different machine
+    features."""
+    import hashlib
+    import platform
+
+    txt = platform.machine() + platform.processor()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags", "Features")):
+                    txt += line
+                    if line.startswith(("flags", "Features")):
+                        break
+    except OSError:
+        pass
+    return hashlib.blake2b(txt.encode(), digest_size=6).hexdigest()
 
 
 def round_up(n: int, m: int = PAD_MULTIPLE) -> int:

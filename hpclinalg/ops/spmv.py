@@ -337,17 +337,19 @@ def _ell_exec(Lrow: int, W: int, Tpad: int, pad_to: int = 0):
 
     @jax.jit
     def run(vals, cols, tvals, trows, tgidx, gathered):
-        gathered = _pad_trunc(gathered, pad_to)
         dt = jnp.result_type(vals.dtype, gathered.dtype)
+        # barrier the OPERAND too: a pad/astype producer fused into the
+        # gather also forces the scalar emitter (measured 72 ms vs 0.4 ms
+        # inside a jitted solver loop)
+        gathered = _ub(_pad_trunc(gathered, pad_to).astype(dt))
 
         def one(v, c, g, *tail):
             y = jnp.sum(v.astype(dt)
-                        * _ub(jnp.take(g.astype(dt), c)).reshape(Lrow, W),
+                        * _ub(jnp.take(g, c)).reshape(Lrow, W),
                         axis=1)
             if Tpad:
                 tv, tr, tg = tail
-                y = y.at[tr].add(tv.astype(dt)
-                                 * _ub(jnp.take(g.astype(dt), tg)),
+                y = y.at[tr].add(tv.astype(dt) * _ub(jnp.take(g, tg)),
                                  mode="drop")
             return y
 
@@ -366,17 +368,17 @@ def _ell_spmm_exec(Lrow: int, W: int, Tpad: int, pad_to: int = 0):
 
     @jax.jit
     def run(vals, cols, tvals, trows, tgidx, gathered):
-        gathered = _pad_trunc(gathered, pad_to)
         dt = jnp.result_type(vals.dtype, gathered.dtype)
+        gathered = _ub(_pad_trunc(gathered, pad_to).astype(dt))
         k = gathered.shape[-1]
 
         def one(v, c, g, *tail):
-            gr = _ub(jnp.take(g.astype(dt), c, axis=0)).reshape(Lrow, W, k)
+            gr = _ub(jnp.take(g, c, axis=0)).reshape(Lrow, W, k)
             y = jnp.sum(v.astype(dt)[:, :, None] * gr, axis=1)
             if Tpad:
                 tv, tr, tg = tail
                 y = y.at[tr].add(tv.astype(dt)[:, None]
-                                 * _ub(jnp.take(g.astype(dt), tg, axis=0)),
+                                 * _ub(jnp.take(g, tg, axis=0)),
                                  mode="drop")
             return y
 
@@ -411,7 +413,7 @@ def _local_spmv(nzval, colval, row_ids, gathered, Lrow):
         return jax.ops.segment_sum(contrib, ri, num_segments=Lrow,
                                    indices_are_sorted=True)
 
-    return jax.vmap(one)(nzval, colval, row_ids, gathered)
+    return jax.vmap(one)(nzval, colval, row_ids, _ub(gathered))
 
 
 def matvec(A, x):

@@ -315,9 +315,12 @@ def ldlt(A, method: str | None = None, spd: bool = False):
     if A.m != A.ncols:
         raise ValueError("ldlt requires a square matrix")
     if _resolve_method(A, method) == "device":
-        from .device_mf import DeviceFactorization
+        from .device_mf import DeviceFactorization, DeviceScheduleError
 
-        return DeviceFactorization(A, kind="chol" if spd else "ldl")
+        try:
+            return DeviceFactorization(A, kind="chol" if spd else "ldl")
+        except DeviceScheduleError as e:
+            _warn_host_fallback(e)
     return Factorization(A, "ldlt")
 
 
@@ -329,10 +332,20 @@ def lu(A, method: str | None = None):
     if A.m != A.ncols:
         raise ValueError("lu requires a square matrix")
     if _resolve_method(A, method) == "device":
-        from .device_mf import DeviceFactorization
+        from .device_mf import DeviceFactorization, DeviceScheduleError
 
-        return DeviceFactorization(A, kind="lu")
+        try:
+            return DeviceFactorization(A, kind="lu")
+        except DeviceScheduleError as e:
+            _warn_host_fallback(e)
     return Factorization(A, "lu")
+
+
+def _warn_host_fallback(e):
+    import warnings
+
+    warnings.warn(f"device multifrontal unavailable for this pattern "
+                  f"({e}); falling back to the host engine", stacklevel=3)
 
 
 class BackslashCache:
@@ -365,9 +378,14 @@ class BackslashCache:
             if solver == "device":
                 # backend-selected device engine (ref: SolverCuDSS backends
                 # route the backslash to cuDSS, CUDAExt:779-885)
-                from .device_mf import DeviceFactorization
+                from .device_mf import DeviceFactorization, DeviceScheduleError
 
-                F = DeviceFactorization(A, kind="ldl" if symmetric else "lu")
+                try:
+                    F = DeviceFactorization(
+                        A, kind="ldl" if symmetric else "lu")
+                except DeviceScheduleError as e:
+                    _warn_host_fallback(e)
+                    F = Factorization(A, kind)
             else:
                 F = Factorization(A, kind)
             c[key] = F

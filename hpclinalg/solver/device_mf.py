@@ -299,6 +299,12 @@ def _pad2(rows_list, fill, width=None):
     return out
 
 
+class DeviceScheduleError(ValueError):
+    """Pattern unsuited to the device wave schedule (e.g. chain trees from
+    banded matrices). Solver dispatch catches this and falls back to the
+    host engine automatically."""
+
+
 class DeviceMF:
     """Mesh-distributed multifrontal engine for one sparsity pattern."""
 
@@ -418,7 +424,7 @@ class DeviceMF:
         # hundreds of levels explode trace/compile time and run serially
         # anyway — the host engine is the right tool there
         if len(self.local_levels) + len(self.top_levels) > 128:
-            raise ValueError(
+            raise DeviceScheduleError(
                 f"elimination tree too deep for the device wave schedule "
                 f"({len(self.local_levels)} local + {len(self.top_levels)} "
                 "top levels; banded/chain-structured patterns serialize) — "

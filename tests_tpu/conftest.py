@@ -30,10 +30,9 @@ def _tpu_available():
         if ok:
             # persistent compile cache: first-compile through the remote
             # service is minutes; reruns of the lane become seconds
-            jax.config.update("jax_compilation_cache_dir",
-                              "/tmp/hpclinalg_xla_cache")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0)
+            from hpclinalg.config import enable_compile_cache
+
+            enable_compile_cache()  # machine-feature-keyed dir
         return ok
     except Exception:
         return False
