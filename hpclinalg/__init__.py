@@ -37,6 +37,7 @@ from .ops.blocks import (
     hcat_sparse,
     vcat_dense,
     vcat_sparse,
+    hcat_vectors,
     vcat_vectors,
 )
 from .ops.map_rows import map_rows, vertex_indices
@@ -55,7 +56,7 @@ __all__ = [
     "LazyTranspose", "repartition_vector", "repartition_dense",
     "spdiagm", "speye", "sprand_dist", "spzeros", "blockdiag", "cat",
     "cat_sparse", "hcat_sparse", "vcat_sparse", "cat_dense", "hcat_dense",
-    "vcat_dense", "vcat_vectors", "map_rows", "vertex_indices",
+    "vcat_dense", "vcat_vectors", "hcat_vectors", "map_rows", "vertex_indices",
     "Factorization", "BackslashCache", "lu", "ldlt", "solve", "io0",
     "Symmetric", "warmup", "profile_trace", "annotate", "show",
     "to_backend", "comm_rank", "comm_size", "clear_solver_caches",

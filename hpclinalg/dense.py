@@ -288,12 +288,27 @@ class DistDenseMatrix:
         raise ValueError("opnorm supports p=1 and p=inf")
 
     def mapslices(self, fn, axis=1):
-        """Row-wise function application (ref: mapslices, dense.jl:1476)."""
+        """Slice-wise function application (ref: mapslices, dense.jl:1476).
+        ``axis=1`` maps rows (distributed, via map_rows); ``axis=0`` maps
+        columns — columns span shards, so the matrix is gathered replicated
+        on device, fn vmapped over columns, and the (kout, n) result
+        redistributed by rows (mirroring the reference's gather-based
+        dims=1 path)."""
         from .ops.map_rows import map_rows
 
-        if axis != 1:
-            raise ValueError("only row-wise mapslices is supported")
-        return map_rows(fn, self)
+        if axis == 1:
+            return map_rows(fn, self)
+        if axis != 0:
+            raise ValueError("axis must be 0 (columns) or 1 (rows)")
+        from .parallel.mesh import allgather_full
+
+        full = allgather_full(self.data, self.row_partition,
+                              self.backend)          # (m, ncols) replicated
+        out = jax.vmap(fn, in_axes=1, out_axes=1)(full)
+        if out.ndim == 1:
+            out = out[None, :]
+        return DistDenseMatrix.from_global(np.asarray(out), self.backend,
+                                           dtype=out.dtype)
 
     def repartition(self, new_partition):
         from .ops.repartition import repartition_dense

@@ -237,6 +237,22 @@ def vcat_vectors(*vs):
     return DistVector(out, p2, backend)
 
 
+def hcat_vectors(*vs):
+    """Column-stack distributed vectors into a dense matrix (ref: hcat for
+    HPCVector -> HPCMatrix, blocks.jl:304-445). Operands are aligned to the
+    first vector's partition; the stack is a pure per-shard reshape."""
+    import jax.numpy as jnp
+
+    from ..dense import DistDenseMatrix
+
+    v0 = vs[0]
+    dtype = np.result_type(*[v.dtype for v in vs])
+    cols = [v0._aligned(v).data.astype(dtype) if v is not v0
+            else v0.data.astype(dtype) for v in vs]
+    data = jnp.stack(cols, axis=2)  # (S, L, k)
+    return DistDenseMatrix(data, v0.partition, len(vs), v0.backend)
+
+
 def cat(*blocks, dims=1):
     """Type-dispatching cat covering all three container families
     (ref: blocks.jl:30/183/304)."""
@@ -250,8 +266,11 @@ def cat(*blocks, dims=1):
     if isinstance(b0, DistDenseMatrix):
         return cat_dense(*blocks, dims=dims)
     if isinstance(b0, DistVector):
+        if dims == 2:
+            return hcat_vectors(*blocks)
         if dims != 1:
-            raise ValueError("vectors only concatenate along dims=1")
+            raise ValueError("vectors concatenate along dims=1 (vcat) or "
+                             "dims=2 (hcat -> dense matrix)")
         return vcat_vectors(*blocks)
     raise TypeError(f"unsupported block type {type(b0)}")
 

@@ -309,6 +309,15 @@ class DistVector:
 
         return LazyTranspose(self)
 
+    @property
+    def H(self):
+        """Conjugated row vector, v' (ref: adjoint handling alongside
+        vectors.jl:738) — ``v.H @ A`` and ``v.H @ w`` (the latter is the
+        sesquilinear inner product)."""
+        from .lazy import LazyTranspose
+
+        return LazyTranspose(self.conj())
+
     # -- structure ops ---------------------------------------------------------
     def repartition(self, new_partition: np.ndarray) -> "DistVector":
         from .ops.repartition import repartition_vector

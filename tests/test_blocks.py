@@ -127,3 +127,79 @@ def test_ops_on_cat_result(be4):
     x = np.random.default_rng(96).standard_normal(9)
     xv = hl.DistVector.from_global(x, be4)
     assert_close((V @ xv).to_numpy(), sp.vstack([A, B]) @ x, np.float64)
+
+
+def test_grid_cat_3x2_2x3(cfg):
+    """Ref :169-226: non-square block grids."""
+    be, dtype = cfg
+    shapes32 = [(5, 4), (5, 6), (3, 4), (3, 6), (7, 4), (7, 6)]
+    blocks = [random_sparse(m, n, 0.3, dtype, seed=60 + i)
+              for i, (m, n) in enumerate(shapes32)]
+    dist = [hl.DistSparseMatrix.from_scipy(b, be, dtype=dtype)
+            for b in blocks]
+    G = hl.cat_sparse(*dist, dims=(3, 2))
+    ref = sp.bmat([[blocks[0], blocks[1]], [blocks[2], blocks[3]],
+                   [blocks[4], blocks[5]]]).toarray()
+    assert_close(G.to_scipy().toarray(), ref, dtype)
+
+    shapes23 = [(5, 4), (5, 6), (5, 3), (2, 4), (2, 6), (2, 3)]
+    blocks = [random_sparse(m, n, 0.3, dtype, seed=70 + i)
+              for i, (m, n) in enumerate(shapes23)]
+    dist = [hl.DistSparseMatrix.from_scipy(b, be, dtype=dtype)
+            for b in blocks]
+    G = hl.cat_sparse(*dist, dims=(2, 3))
+    ref = sp.bmat([[blocks[0], blocks[1], blocks[2]],
+                   [blocks[3], blocks[4], blocks[5]]]).toarray()
+    assert_close(G.to_scipy().toarray(), ref, dtype)
+
+
+def test_vector_hcat(cfg):
+    """Ref :246-264: hcat of vectors -> dense matrix."""
+    from utils import assert_padding_zero, rand_vector
+
+    be, dtype = cfg
+    a = rand_vector(11, dtype, seed=44)
+    b = rand_vector(11, dtype, seed=45)
+    c = rand_vector(11, dtype, seed=46)
+    va = hl.DistVector.from_global(a, be, dtype=dtype)
+    vb = hl.DistVector.from_global(b, be, dtype=dtype)
+    vc = hl.DistVector.from_global(c, be, dtype=dtype)
+    M = hl.hcat_vectors(va, vb, vc)
+    assert isinstance(M, hl.DistDenseMatrix)
+    assert M.shape == (11, 3)
+    assert_close(M.to_numpy(), np.stack([a, b, c], axis=1), dtype)
+    assert_padding_zero(M)
+    # generic dispatcher with dims=2
+    M2 = hl.cat(va, vb, dims=2)
+    assert_close(M2.to_numpy(), np.stack([a, b], axis=1), dtype)
+    # mismatched partitions align to the first operand
+    vb2 = vb.repartition(np.array(
+        [0, 2, 6, 9, 11])) if be.nshards == 4 else vb
+    M3 = hl.hcat_vectors(va, vb2)
+    assert_close(M3.to_numpy(), np.stack([a, b], axis=1), dtype)
+
+
+def test_blockdiag_many_and_single(cfg):
+    """Ref :267-283 + degenerate single block."""
+    be, dtype = cfg
+    A, Ad = _mk(be, dtype, 3, 3, 97)
+    BD1 = hl.blockdiag(Ad)
+    assert_close(BD1.to_scipy().toarray(), A.toarray(), dtype)
+    mats = [_mk(be, dtype, 2 + i, 3 + i, 100 + i) for i in range(5)]
+    BD = hl.blockdiag(*[d for _, d in mats])
+    ref = sp.block_diag([m for m, _ in mats]).toarray()
+    assert_close(BD.to_scipy().toarray(), ref, dtype)
+
+
+def test_cat_with_empty_blocks(be4):
+    """All-zero blocks inside a grid keep the layout correct."""
+    A = random_sparse(4, 5, 0.4, seed=111)
+    Z = sp.csr_matrix((4, 7))
+    B = random_sparse(3, 5, 0.4, seed=112)
+    C = random_sparse(3, 7, 0.4, seed=113)
+    blocks = [A, Z, B, C]
+    dist = [hl.DistSparseMatrix.from_scipy(sp.csr_matrix(b), be4)
+            for b in blocks]
+    G = hl.cat_sparse(*dist, dims=(2, 2))
+    ref = sp.bmat([[A, Z], [B, C]]).toarray()
+    assert_close(G.to_scipy().toarray(), ref, np.float64)
