@@ -518,3 +518,61 @@ def test_small_magnitude_matrix_solves(be4):
     xd = hl.ldlt(Ad, method="device", spd=True).solve(
         hl.DistVector.from_global(b, be4)).to_numpy()
     assert _resid(A, xd, b) < 1e-10
+
+
+def test_extended_refinement_f32():
+    """Round-2 verdict #3: compensated double-f32 refinement converges an
+    f32 device factorization to ~1e-9..1e-10 relative residuals — the
+    on-chip stand-in for the reference's f64 tolerance discipline
+    (test_utils.jl:154-157). DIA tier (stencil pattern)."""
+    from hpclinalg.solver.device_mf import DeviceFactorization
+
+    be = hl.backend_auto(nshards=4, dtype=np.float32)
+    k = 128
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(k, k))
+    L = (sp.kron(sp.eye(k), T) + sp.kron(T, sp.eye(k))).tocsr()
+    n = k * k
+    Ad = hl.DistSparseMatrix.from_scipy(L.astype(np.float32), be,
+                                        dtype=np.float32)
+    b = np.random.default_rng(5).standard_normal(n).astype(np.float32)
+    bd = hl.DistVector.from_global(b, be, dtype=np.float32)
+    F = DeviceFactorization(Ad, kind="chol", dtype=np.float32)
+    x = F.solve(bd, extended=True)
+    resid = np.linalg.norm(
+        L @ np.asarray(x.to_numpy(), np.float64) - b) / np.linalg.norm(b)
+    assert resid < 1e-9, f"extended refinement resid {resid}"
+    # plain f32 refinement sits at the f32 noise floor — sanity-check the
+    # extended path is genuinely ahead of it
+    xp = F.solve(bd, extended=False)
+    resid_p = np.linalg.norm(
+        L @ np.asarray(xp.to_numpy(), np.float64) - b) / np.linalg.norm(b)
+    assert resid < resid_p / 50
+
+
+def test_extended_refinement_ell_tier():
+    """Extended refinement through the ELL-tier compensated residual
+    (random sparsity + diagonal dominance, ldl kind). The pattern must be
+    big enough to clear the densify tier (which has no compensated path
+    and falls back to plain refinement)."""
+    from hpclinalg.ops.spmv import get_spmv_plan
+    from hpclinalg.solver.device_mf import DeviceFactorization
+
+    be = hl.backend_auto(nshards=4, dtype=np.float32)
+    # randomly permuted 2D Laplacian: kills the DIA offsets (forcing the
+    # ELL tier) while AMD re-finds the cheap ordering for the factor
+    k = 72
+    n = k * k
+    rng = np.random.default_rng(17)
+    p = rng.permutation(n)
+    P = sp.csr_matrix((np.ones(n), (np.arange(n), p)), shape=(n, n))
+    A = (P @ laplace2d(k) @ P.T).tocsr().astype(np.float32)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    bd = hl.DistVector.from_global(b, be, dtype=np.float32)
+    plan = get_spmv_plan(Ad, bd)
+    assert plan.ell, "pattern should ride the ELL tier"
+    F = DeviceFactorization(Ad, kind="chol", dtype=np.float32)
+    x = F.solve(bd, extended=True)
+    resid = np.linalg.norm(
+        A.astype(np.float64) @ np.asarray(x.to_numpy(), np.float64) - b) / np.linalg.norm(b)
+    assert resid < 1e-9, f"ELL extended resid {resid}"
