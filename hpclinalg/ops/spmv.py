@@ -61,13 +61,13 @@ ELL_MIN_WIDTH = 4
 
 
 def _ub(x):
-    """Fusion barrier around gather results. XLA:TPU's standalone gather
-    emitter runs at HBM bandwidth (~200+ Gelem/s measured on v5e), but when
-    a gather is fused into a consumer loop (e.g. pad+mul+sum chains) it
-    degrades to per-element scalar loads (~90 M elem/s — measured 283x
-    slowdown on the 8M-nnz random SpMV). The barrier forces the gather to
-    materialize as its own kernel; the extra buffer round-trip is noise at
-    HBM speed."""
+    """Fusion barrier around gather operands/results. Keeps the gather an
+    isolated HLO so multi-gather consumer fusions can't multiply its cost
+    (XLA's TPU gather is scalar-issue-bound at ~90-130 M elem/s — verified
+    with synchronous readback; chained fusions of several gathers were
+    measured far slower than the isolated ops). NOTE: XLA has no
+    vectorized random-gather on this hardware — the real fix for random
+    SpMV is the Pallas lane-gather engine (ops/pallas_shuffle.py)."""
     return jax.lax.optimization_barrier(x)
 
 
