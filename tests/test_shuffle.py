@@ -1,0 +1,104 @@
+"""Static-shuffle gather engine (shuffle_router + pallas_shuffle).
+
+Role under test: the TPU replacement for the reference's KA CSR gather
+kernel (/root/reference/src/sparse.jl:2055) — one static gather
+xe[D] = x[src[D]] compiled into lane-gather/transpose routing passes.
+The Pallas kernels run in interpret mode on the CPU mesh; the numpy
+simulator is the intermediate oracle, the direct fancy-index the final
+one."""
+
+import numpy as np
+import pytest
+
+from hpclinalg.ops.shuffle_router import build_route, simulate
+
+
+def _check(n, ndest, seed, dead_frac=0.03, dup_heavy=False):
+    rng = np.random.default_rng(seed)
+    if dup_heavy:
+        # few hot sources read by many dest slots (duplication stress)
+        src = rng.integers(0, max(n // 50, 2), ndest).astype(np.int64)
+    else:
+        src = rng.integers(0, n, ndest).astype(np.int64)
+    src[rng.random(ndest) < dead_frac] = -1
+    plan = build_route(src, n)
+    x = rng.standard_normal(n).astype(np.float32)
+    xe = simulate(plan, x)
+    liv = src >= 0
+    assert np.array_equal(xe[: len(src)][liv], x[src[liv]]), \
+        f"routing wrong (seed={seed})"
+    assert plan.stats["spill_frac"] < 0.02, plan.stats
+    return plan
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_router_random(seed):
+    _check(5000, 40000, seed)
+
+
+def test_router_duplication_heavy():
+    _check(4000, 50000, 7, dup_heavy=True)
+
+
+def test_router_tiny_and_empty():
+    plan = _check(100, 300, 3, dead_frac=0.3)
+    assert plan.C2 >= 1
+    # fully dead
+    src = np.full(200, -1, np.int64)
+    plan = build_route(src, 50)
+    xe = simulate(plan, np.ones(50, np.float32))
+    assert np.all(xe == 0)
+
+
+def test_router_structured_pattern():
+    """Stencil-like src pattern (banded): windows are dense — exercises
+    the run-splitting at window boundaries."""
+    n = 3000
+    rows = np.arange(n)
+    cols = np.stack([np.clip(rows + o, 0, n - 1) for o in
+                     (-64, -1, 0, 1, 64)], axis=1)
+    src = cols.reshape(-1).astype(np.int64)
+    plan = build_route(src, n)
+    x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    xe = simulate(plan, x)
+    assert np.array_equal(xe[: len(src)], x[src])
+    assert plan.stats["spill_frac"] < 0.02
+
+
+def test_pallas_kernels_interpret():
+    """The three Pallas kernels reproduce the simulator exactly
+    (interpret mode = CPU execution of the same program)."""
+    import jax.numpy as jnp
+
+    from hpclinalg.ops.pallas_shuffle import PackedRoute, shuffle_apply
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    nd = 30000
+    src = rng.integers(0, n, nd).astype(np.int64)
+    src[rng.random(nd) < 0.04] = -1
+    plan = build_route(src, n)
+    packed = PackedRoute(plan)
+    x = rng.standard_normal(n).astype(np.float32)
+    ref = simulate(plan, x)
+    xe = np.asarray(shuffle_apply(packed, jnp.asarray(x), interpret=True))
+    assert np.array_equal(xe, ref)
+
+
+def test_pallas_kernels_interpret_multichunk():
+    """Multi-superchunk / multi-sub-block geometry."""
+    import jax.numpy as jnp
+
+    from hpclinalg.ops.pallas_shuffle import PackedRoute, shuffle_apply
+
+    rng = np.random.default_rng(12)
+    n = 1 << 14
+    nd = n * 6
+    src = rng.integers(0, n, nd).astype(np.int64)
+    plan = build_route(src, n)
+    packed = PackedRoute(plan)
+    assert packed.n_sc > 1
+    x = rng.standard_normal(n).astype(np.float32)
+    xe = np.asarray(shuffle_apply(packed, jnp.asarray(x), interpret=True))
+    liv = src >= 0
+    assert np.array_equal(xe[: len(src)][liv], x[src[liv]])
