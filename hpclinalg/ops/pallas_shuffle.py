@@ -217,12 +217,10 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
             yk = jnp.take_along_axis(cev, sa[k], axis=1)
             for p in range(PA):
                 tyv[k, p] = yk[p * LANES:(p + 1) * LANES, :].T
-        selv = _i32(sel_ref[...])
-        relv = _i32(rel_ref[...])
         for g in range(gamma):
             for t in range(TAr):
-                sel = selv[g, t]
-                rel = relv[g, t]
+                sel = _i32(sel_ref[g, t])
+                rel = _i32(rel_ref[g, t])
                 acc = jnp.zeros((LANES, LANES), jnp.float32)
                 for code in A_live:
                     k, p = code // PA, code % PA
@@ -275,6 +273,8 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
             out_shape=tuple(
                 jax.ShapeDtypeStruct((n_sc * rows_out, LANES), jnp.float32)
                 for _ in range(gamma)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(win, wr, m, sa, rel, sel, xg)
 
@@ -290,12 +290,10 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
             zk = jnp.take_along_axis(binv, s1[k], axis=1)
             for p in range(PB):
                 tzv[k, p] = zk[p * LANES:(p + 1) * LANES, :].T
-        selv = _i32(sel_ref[...])
-        relv = _i32(rel_ref[...])
         for d in range(cpg):
             for t in range(TBr):
-                sel = selv[d, t]
-                rel = relv[d, t]
+                sel = _i32(sel_ref[d, t])
+                rel = _i32(rel_ref[d, t])
                 acc = jnp.zeros((LANES, LANES), jnp.float32)
                 for code in B1_live:
                     k, p = code // PB, code % PB
@@ -340,6 +338,8 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
                 pltpu.VMEM((1,), jnp.float32),
                 pltpu.VMEM((KB1, PB, LANES, LANES), jnp.float32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(s1, rel, sel, bins)
 
@@ -409,6 +409,8 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
                 pltpu.VMEM((nsub * RBu, LANES), jnp.float32),
                 pltpu.VMEM((KB2, PS, LANES, LANES), jnp.float32),
             ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(s2, rel, sel, *([staging] * nsub))
 
@@ -446,3 +448,80 @@ def shuffle_apply(packed: PackedRoute, xg: jax.Array,
         vals = jnp.take(x2.reshape(-1), packed.spill_src)
         xe = xe.at[packed.spill_dst].set(vals)
     return xe
+
+
+# ---------------------------------------------------------------------------
+# SpMV engine-tier glue
+# ---------------------------------------------------------------------------
+
+def shuffle_available(backend, st) -> bool:
+    """The shuffle engine tier: real-TPU platform, single shard (the
+    kernels run per shard; multi-shard stacking needs per-shard geometry —
+    future work), and enough work to amortize the routing passes."""
+    try:
+        platform = backend.mesh.devices.flat[0].platform
+    except Exception:
+        return False
+    return (platform in ("tpu", "axon") and backend.nshards == 1
+            and st.nnz >= (1 << 20))
+
+
+def build_spmv_shuffle(A, plan):
+    """Route plan + packed tables for A's ELL gather, cached per matrix
+    structure (host build is O(nnz log nnz) numpy — the analogue of the
+    reference's plan-construction phase)."""
+    from ..cache import cached_plan
+    from .shuffle_router import build_route
+
+    st = A.structure
+
+    def build():
+        W = plan.ell_W
+        Lrow = st.Lrow
+        cols = np.asarray(plan.ell_cols).reshape(1, Lrow, W)[0]
+        # mark ELL padding slots dead: slots at/after each row's length
+        lens = np.zeros(Lrow, np.int64)
+        ip = st.indptr[0]
+        if len(ip) > 1:
+            lens[: len(ip) - 1] = np.minimum(np.diff(ip), W)
+        mask = np.arange(W)[None, :] < lens[:, None]
+        src = np.where(mask, cols, -1).astype(np.int64).reshape(-1)
+        route = build_route(src, plan.exchange.out_pad)
+        return PackedRoute(route)
+
+    return cached_plan("spmv_shuffle", ("shuffle", plan.key), build)
+
+
+def shuffle_spmv(A, plan, xb, interpret: bool = False):
+    """y = A @ x through the shuffle engine: xe = shuffle(x) in ELL order,
+    then a pure elementwise multiply + lane reduction (no gathers) plus
+    the standard COO tail. xb: (1, Lin) stacked block (identity or
+    gathered). Returns (1, Lrow) f32."""
+    from .spmv import _ell_values, _pad_trunc
+
+    st = A.structure
+    packed = build_spmv_shuffle(A, plan)
+    g = xb if plan.exchange.is_identity else plan.exchange.apply(xb)
+    g = _pad_trunc(g, plan.exchange.out_pad)
+    xe = shuffle_apply(packed, g[0], interpret=interpret)
+    W, Lrow = plan.ell_W, st.Lrow
+    vals, tvals = _ell_values(A, plan)
+    y = _shuffle_epilogue(vals.astype(jnp.float32),
+                          xe, Lrow, W)
+    if plan.ell_Tpad:
+        tv = tvals.astype(jnp.float32)[0]
+        tg = jnp.take(g[0].astype(jnp.float32), plan.ell_tail_gidx[0])
+        y = y.at[0, plan.ell_tail_rows[0]].add(
+            tv * tg, mode="drop")
+    return y
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _shuffle_epilogue(vals, xe, Lrow, W):
+    # vals (1, Lrow, W); xe (>= Lrow*W,) in ELL-flat order
+    xev = jax.lax.optimization_barrier(
+        xe[: Lrow * W].reshape(Lrow, W))
+    return jnp.sum(vals[0] * xev, axis=1)[None]

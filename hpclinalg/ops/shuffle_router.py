@@ -109,8 +109,9 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
     src_of = np.asarray(src_of, np.int64)
     ndest = len(src_of)
     C2 = max(1, -(-ndest // DCH))
-    gamma = max(1, int(np.ceil(np.sqrt(C2))))
-    cpg = -(-C2 // gamma)
+    # group size: prefer FEW groups (small kernel IR, long sorted runs ->
+    # fewer bank conflicts) with cpg capped so pass-B blocks stay VMEM-sized
+    cpg = min(C2, 64)
     gamma = -(-C2 // cpg)
 
     live = np.flatnonzero(src_of >= 0)

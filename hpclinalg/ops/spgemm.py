@@ -348,6 +348,9 @@ def _dia_spgemm_exec(OA: tuple, OB: tuple, OC: tuple, Lrow: int, W: int,
         # dA: (S, OA, Lrow); dBw: (S, W, OB) row-major window of B diagonals
         S = dA.shape[0]
         dt = jnp.result_type(dA.dtype, dBw.dtype)
+        if not OC:  # structurally-empty product: only the zero slot exists
+            flat = jnp.zeros((S, 1), dt)
+            return jax.vmap(lambda f, t: jnp.take(f, t, axis=0))(flat, c_take)
         dC = [None] * len(OC)
         for ia, oa in enumerate(OA):
             # B row (r0 + i + oa) sits at window slot i + (oa - w_lo)

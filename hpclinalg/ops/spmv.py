@@ -449,7 +449,13 @@ def matvec(A, x):
         else:
             y = _densified_exec()(blk, plan.exchange.apply(x.data))
     elif plan.ell:
-        y = _ell_apply(A, plan, x.data, spmm=False)
+        from .pallas_shuffle import shuffle_available, shuffle_spmv
+
+        if (shuffle_available(A.backend, st)
+                and jnp.result_type(A.dtype, x.dtype) == jnp.float32):
+            y = shuffle_spmv(A, plan, x.data)
+        else:
+            y = _ell_apply(A, plan, x.data, spmm=False)
     else:
         gathered = plan.exchange.apply(x.data)  # (S, Gpad)
         y = _local_spmv(A.nzval, st.colval_dev, st.row_ids_dev, gathered, st.Lrow)

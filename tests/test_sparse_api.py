@@ -212,3 +212,84 @@ def test_to_numpy_writable():
     assert_close(v.to_numpy(), np.arange(8.0), np.float64)
     ro = v.to_numpy_ro()
     assert not ro.flags.writeable
+
+
+def test_vector_broadcasting(cfg):
+    """Ref :257-313: operator and function broadcasting (bmap/map are the
+    broadcasting machinery, vectors.jl:1093-1226)."""
+    import jax.numpy as jnp
+
+    be, dtype = cfg
+    v = np.arange(1.0, 11.0).astype(dtype)
+    w = np.arange(11.0, 21.0).astype(dtype)
+    vd = hl.DistVector.from_global(v, be, dtype=dtype)
+    wd = hl.DistVector.from_global(w, be, dtype=dtype)
+    assert_close((vd + wd).to_numpy(), v + w, dtype)
+    assert_close(hl.DistVector.bmap(lambda a, b: a * b, vd, wd).to_numpy(),
+                 v * w, dtype)
+    assert_close((vd * dtype(2.0)).to_numpy(), v * 2, dtype)
+    assert_close((vd + dtype(100.0)).to_numpy(), v + 100, dtype)
+    if not np.issubdtype(np.dtype(dtype), np.complexfloating):
+        assert_close(vd.map(jnp.sin).to_numpy(), np.sin(v), dtype)
+        assert_close(vd.map(jnp.exp).to_numpy(), np.exp(v), dtype)
+        assert_close(vd.map(jnp.sqrt).to_numpy(), np.sqrt(v), dtype)
+    # compound expression v*2 + w^2
+    comp = hl.DistVector.bmap(lambda a, b: a * dtype(2.0) + b * b, vd, wd)
+    assert_close(comp.to_numpy(), v * 2 + w ** 2, dtype)
+
+
+def test_vector_broadcasting_mixed_partitions(cfg):
+    """Ref :318-369: broadcasting aligns operands on different partitions;
+    the result carries the first operand's partition."""
+    be, dtype = cfg
+    n = 12
+    v = np.arange(1.0, n + 1.0).astype(dtype)
+    w = np.arange(101.0, 101.0 + n).astype(dtype)
+    vd = hl.DistVector.from_global(v, be, dtype=dtype)
+    if be.nshards == 4:
+        custom = np.array([0, 4, 7, 10, 12])
+    elif be.nshards == 8:
+        custom = np.array([0, 2, 4, 5, 7, 9, 10, 11, 12])
+    else:
+        custom = None
+    wd = hl.DistVector.from_global(w, be, partition=custom, dtype=dtype)
+    assert_close(complex(wd.sum()), w.sum(), dtype)
+    s = vd + wd
+    assert_close(s.to_numpy(), v + w, dtype)
+    assert np.array_equal(s.partition, vd.partition)
+    p = hl.DistVector.bmap(lambda a, b: a * b, vd, wd)
+    assert_close(p.to_numpy(), v * w, dtype)
+    comp = hl.DistVector.bmap(lambda a, b: a * dtype(2.0) + b, vd, wd)
+    assert_close(comp.to_numpy(), v * 2 + w, dtype)
+
+
+def test_complex_elementwise_sparse():
+    """Ref :372-408: real/imag of a complex sparse matrix and vector."""
+    import scipy.sparse as sp
+
+    be = hl.backend_auto(nshards=4, dtype=np.complex128)
+    n = 20
+    vals = np.array([1 + 2j, 3 - 1j, 2 + 1j, -1 + 3j, 4 - 2j, 1 - 1j,
+                     2 + 2j, 3 + 1j], np.complex128)
+    A = sp.csr_matrix((vals, (np.array([0, 1, 2, 3, 4, 0, 1, 2]),
+                              np.array([0, 1, 2, 3, 4, 5, 6, 7]))),
+                      shape=(n, n))
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=np.complex128)
+    assert_close(complex(Ad.real().sum()), A.real.sum(), np.complex128)
+    assert_close(complex(Ad.imag().sum()), A.imag.sum(), np.complex128)
+    v = np.concatenate([vals[:4], np.zeros(n - 4, np.complex128)])
+    vd = hl.DistVector.from_global(v, be, dtype=np.complex128)
+    assert_close(complex(vd.real().sum()), v.real.sum(), np.complex128)
+    assert_close(complex(vd.imag().sum()), v.imag.sum(), np.complex128)
+
+
+def test_copy_semantics(cfg):
+    """Ref :58-67: copy gives an independent matrix with equal values
+    (JAX arrays are immutable, so copy is a cheap same-structure wrap)."""
+    be, dtype = cfg
+    A = random_sparse(15, 15, 0.3, dtype, seed=201)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    Bd = Ad * dtype(1)
+    assert Bd is not Ad
+    assert_close(Bd.to_scipy().toarray(), A.toarray(), dtype)
+    assert Bd.hash == Ad.hash  # same structure identity
