@@ -5,18 +5,25 @@ Three kernels mirror the numpy simulator primitive for primitive:
   Kernel A (grid over 512-row source superchunks): slab DMA + window CG +
     lane LG expand the column-sorted emission stream; banked LGs +
     selector-masked CGs bin elements into per-(superchunk, γ) regions.
-    One output ref per γ keeps every write a contiguous block.
-  Kernel B1 (grid over (γ, sub-block)): re-bins the γ's BIN rows to exact
-    destination chunks (banked LG + selector CG) into a staging buffer.
-  Kernel B2 (grid over (γ, δ)): final placement — banked LGs + one
-    selector CG emit the finished (128, 128) destination chunk.
+    All γ regions are PACKED contiguously (uniform pow2 stride RAu) into
+    one output ref, so every 128-row masked tile is ~full of live rows.
+  Kernel B1 (grid over (γ, sub-block)): re-bins a 512-row bin block to
+    exact destination chunks (banked LG + selector CG). The cpg
+    destination regions (uniform stride RBu) are again packed into
+    ceil(cpg·RBu/128) tiles instead of one 128-row tile per region —
+    this packing is what keeps the masked-select pass count proportional
+    to the payload, not to the region count.
+  Kernel B2 (grid over (γ, δ)): final placement — block-selects δ's
+    (nsub, RBu) staging rows straight out of B1's packed output, banked
+    LGs + one selector CG emit the finished (128, 128) destination chunk.
 
 Table encoding: each CG stage stores per output tile a TRANSPOSED
 relative-row table (int8 source row % 128) and a SELECTOR (uint8 code =
-bank * ntiles + tile, 255 dead). Kernels loop over the statically-live
-codes, compare the selector on the VPU, and accumulate masked
-lane-gathers — the only data-movement ops issued are lane-gathers and
-transposes, the two primitives Mosaic vectorizes (CG(X, B) =
+bank * ntiles + tile, 255 dead). Lane tables (window/lane/bank gathers)
+are int8 (< 128) and widened on the VPU. Kernels loop over the
+statically-live codes, compare the selector on the VPU, and accumulate
+masked lane-gathers — the only data-movement ops issued are lane-gathers
+and transposes, the two primitives Mosaic vectorizes (CG(X, B) =
 TR(LG(TR(X), Bᵀ)), Bᵀ precomputed on host).
 """
 
@@ -59,75 +66,82 @@ def _pack_cg(brow, bank, K, P):
 
 
 class PackedRoute:
-    """Device-resident, γ-uniform kernel tables for one RoutePlan."""
+    """Device-resident, geometry-uniform kernel tables for one RoutePlan."""
 
     def __init__(self, plan: RoutePlan):
         self.plan = plan
-        n_sc = plan.n_superchunks
         gamma, cpg = plan.gamma, plan.cpg
+        RAu, nsub = plan.RAu, plan.nsub
+        n_sc = nsub * SUB // RAu            # padded so nsub*SUB = n_sc*RAu
         self.n_sc, self.gamma, self.cpg = n_sc, gamma, cpg
-        RAu = int(plan.RA.max()) if len(plan.RA) else 1
-        self.RAu = RAu
+        self.RAu, self.nsub = RAu, nsub
+        self.SCG = SUB // RAu               # superchunks per B1 sub-block
         self.PA = _ceil(SC, LANES)
+        n_sc_r = plan.n_superchunks
 
         # ---- kernel A -----------------------------------------------------
-        self.win = jnp.asarray(plan.win.astype(np.int32))
-        self.win_rel = jnp.asarray(
-            plan.win_rel.reshape(n_sc, self.PA, LANES).astype(np.int32))
-        self.M = jnp.asarray(
-            plan.M.reshape(n_sc, SC, LANES).astype(np.int8))
-        self.SA = jnp.asarray(
-            plan.SA.reshape(KA, n_sc, SC, LANES).swapaxes(0, 1)
-            .astype(np.int8))
+        def _padsc(a):
+            """extend leading sc dim from n_sc_r to n_sc (dead zeros)."""
+            if n_sc == n_sc_r:
+                return a
+            pad = [(0, n_sc - n_sc_r)] + [(0, 0)] * (a.ndim - 1)
+            return np.pad(a, pad)
+
+        self.win = jnp.asarray(_padsc(plan.win.astype(np.int32)))
+        self.win_rel = jnp.asarray(_padsc(
+            plan.win_rel.reshape(n_sc_r, self.PA, LANES).astype(np.int8)))
+        self.M = jnp.asarray(_padsc(
+            plan.M.reshape(n_sc_r, SC, LANES).astype(np.int8)))
+        self.SA = jnp.asarray(_padsc(
+            plan.SA.reshape(KA, n_sc_r, SC, LANES).swapaxes(0, 1)
+            .astype(np.int8)))
 
         RAoff = np.concatenate([[0], np.cumsum(plan.RA)])
-        # per-γ uniform regions (RAu rows each), packed (n_sc, γ, RAu, 128)
-        brow_u = np.zeros((n_sc, gamma, RAu, LANES), np.int32)
-        bank_u = np.full((n_sc, gamma, RAu, LANES), 255, np.uint8)
+        self.TP_A = _ceil(gamma * RAu, LANES)
+        brow_u = np.zeros((n_sc, self.TP_A * LANES, LANES), np.int32)
+        bank_u = np.full((n_sc, self.TP_A * LANES, LANES), 255, np.uint8)
         for g in range(gamma):
             Rg = int(plan.RA[g])
-            brow_u[:, g, :Rg] = plan.A_brow[:, RAoff[g]:RAoff[g] + Rg]
-            bank_u[:, g, :Rg] = plan.A_bank[:, RAoff[g]:RAoff[g] + Rg]
-        rel, sel, live, TAr = _pack_cg(
-            brow_u.reshape(n_sc * gamma, RAu, LANES),
-            bank_u.reshape(n_sc * gamma, RAu, LANES), KA, self.PA)
-        self.TAr = TAr                          # tiles per (sc, γ) region
-        self.A_rel = jnp.asarray(
-            rel.reshape(n_sc, gamma, TAr, LANES, LANES))
-        self.A_sel = jnp.asarray(
-            sel.reshape(n_sc, gamma, TAr, LANES, LANES))
+            brow_u[:n_sc_r, g * RAu: g * RAu + Rg] = \
+                plan.A_brow[:, RAoff[g]:RAoff[g] + Rg]
+            bank_u[:n_sc_r, g * RAu: g * RAu + Rg] = \
+                plan.A_bank[:, RAoff[g]:RAoff[g] + Rg]
+        rel, sel, live, _ = _pack_cg(brow_u, bank_u, KA, self.PA)
+        self.A_rel = jnp.asarray(rel)       # (n_sc, TP_A, 128, 128)
+        self.A_sel = jnp.asarray(sel)
         self.A_live = live
 
         # ---- kernel B1 ----------------------------------------------------
-        nsub = max(1, _ceil(n_sc * RAu, SUB))
-        self.nsub = nsub
         RBu = max(int(max(rb.max() for rb in plan.RB)) if gamma else 1, 1)
+        RBu = _ceil(RBu, 8) * 8             # 8-row DMA granularity
         self.RBu = RBu
+        self.TP_B = _ceil(cpg * RBu, LANES)
         S1 = np.zeros((gamma, KB1, nsub * SUB, LANES), np.int8)
-        brow1 = np.zeros((gamma, nsub, cpg, RBu, LANES), np.int32)
-        bank1 = np.full((gamma, nsub, cpg, RBu, LANES), 255, np.uint8)
+        brow1 = np.zeros((gamma, nsub, self.TP_B * LANES, LANES), np.int32)
+        bank1 = np.full((gamma, nsub, self.TP_B * LANES, LANES), 255,
+                        np.uint8)
         for g in range(gamma):
             s1 = plan.B1_S[g]
             S1[g, :, : s1.shape[1]] = s1[:KB1]
             RB = plan.RB[g]
             RBoff = np.concatenate([[0], np.cumsum(RB)])
+            nsub_g = plan.B1_brow[g].shape[0]
             for d in range(cpg):
                 Rd = int(RB[d])
-                brow1[g, :, d, :Rd] = \
+                brow1[g, :nsub_g, d * RBu: d * RBu + Rd] = \
                     plan.B1_brow[g][:, RBoff[d]:RBoff[d] + Rd]
-                bank1[g, :, d, :Rd] = \
+                bank1[g, :nsub_g, d * RBu: d * RBu + Rd] = \
                     plan.B1_bank[g][:, RBoff[d]:RBoff[d] + Rd]
-        rel1, sel1, live1, TBr = _pack_cg(
-            brow1.reshape(gamma * nsub * cpg, RBu, LANES),
-            bank1.reshape(gamma * nsub * cpg, RBu, LANES), KB1,
+        rel1, sel1, live1, _ = _pack_cg(
+            brow1.reshape(gamma * nsub, self.TP_B * LANES, LANES),
+            bank1.reshape(gamma * nsub, self.TP_B * LANES, LANES), KB1,
             _ceil(SUB, LANES))
-        self.TBr = TBr
         self.PB = _ceil(SUB, LANES)
         self.S1 = jnp.asarray(S1)
         self.B1_rel = jnp.asarray(
-            rel1.reshape(gamma, nsub, cpg, TBr, LANES, LANES))
+            rel1.reshape(gamma, nsub, self.TP_B, LANES, LANES))
         self.B1_sel = jnp.asarray(
-            sel1.reshape(gamma, nsub, cpg, TBr, LANES, LANES))
+            sel1.reshape(gamma, nsub, self.TP_B, LANES, LANES))
         self.B1_live = live1
 
         # ---- kernel B2 ----------------------------------------------------
@@ -139,10 +153,11 @@ class PackedRoute:
         bank2 = np.full((gamma, cpg, CHROWS, LANES), 255, np.uint8)
         for g in range(gamma):
             RB = plan.RB[g]
+            nsub_g = plan.B1_brow[g].shape[0]
             for d in range(cpg):
                 Rd = int(RB[d])
                 s2 = plan.B2_S[g][d]
-                for sb in range(nsub):
+                for sb in range(nsub_g):
                     S2[g, d, :, sb * RBu: sb * RBu + Rd] = \
                         s2[:KB2, sb * Rd:(sb + 1) * Rd]
                 br = plan.B2_brow[g][d].astype(np.int64)
@@ -185,16 +200,17 @@ def _i32(ref_val):
 @lru_cache(maxsize=None)
 def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
     """Builds the three jitted pallas calls for one geometry. key_shapes =
-    (n_sc, gamma, cpg, RAu, TAr, nsub, RBu, TBr, PS, nrow_x)."""
+    (n_sc, gamma, cpg, RAu, TP_A, nsub, RBu, TP_B, PS, nrow_x)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    (n_sc, gamma, cpg, RAu, TAr, nsub, RBu, TBr, PS, nrow_x) = key_shapes
+    (n_sc, gamma, cpg, RAu, TP_A, nsub, RBu, TP_B, PS, nrow_x) = key_shapes
     PA = _ceil(SC, LANES)
+    SCG = SUB // RAu
 
     # ---------------- kernel A -------------------------------------------
     def kern_a(win_ref, wr_ref, m_ref, sa_ref, rel_ref, sel_ref, xg_ref,
-               *out_refs, slab, ce, ty, sem):
+               out_ref, slab, ce, sem):
         sc = pl.program_id(0)
         q0 = win_ref[sc]
         cp = pltpu.make_async_copy(
@@ -202,7 +218,7 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
         cp.start()
         cp.wait()
         trs = slab[...].T
-        wr = wr_ref[...]
+        wr = _i32(wr_ref[...])
         mm = _i32(m_ref[...])
         for p in range(PA):
             C = jnp.broadcast_to(wr[p:p + 1, :], (LANES, LANES))
@@ -217,20 +233,18 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
             yk = jnp.take_along_axis(cev, sa[k], axis=1)
             for p in range(PA):
                 tyv[k, p] = yk[p * LANES:(p + 1) * LANES, :].T
-        for g in range(gamma):
-            for t in range(TAr):
-                sel = _i32(sel_ref[g, t])
-                rel = _i32(rel_ref[g, t])
-                acc = jnp.zeros((LANES, LANES), jnp.float32)
-                for code in A_live:
-                    k, p = code // PA, code % PA
-                    gth = jnp.take_along_axis(tyv[k, p], rel, axis=1)
-                    acc = jnp.where(sel == code, gth, acc)
-                out_refs[g][pl.ds(t * LANES, LANES), :] = acc.T
+        for t in range(TP_A):
+            sel = _i32(sel_ref[t])
+            rel = _i32(rel_ref[t])
+            acc = jnp.zeros((LANES, LANES), jnp.float32)
+            for code in A_live:
+                k, p = code // PA, code % PA
+                gth = jnp.take_along_axis(tyv[k, p], rel, axis=1)
+                acc = jnp.where(sel == code, gth, acc)
+            out_ref[pl.ds(t * LANES, LANES), :] = acc.T
 
     def run_a(packed_args, xg):
         win, wr, m, sa, rel, sel = packed_args
-        rows_out = TAr * LANES
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_sc,),
@@ -242,37 +256,34 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
                 pl.BlockSpec((1, KA, SC, LANES),
                              lambda sc, w: (sc, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, gamma, TAr, LANES, LANES),
-                             lambda sc, w: (sc, 0, 0, 0, 0),
+                pl.BlockSpec((1, TP_A, LANES, LANES),
+                             lambda sc, w: (sc, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, gamma, TAr, LANES, LANES),
-                             lambda sc, w: (sc, 0, 0, 0, 0),
+                pl.BlockSpec((1, TP_A, LANES, LANES),
+                             lambda sc, w: (sc, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=tuple(
-                pl.BlockSpec((rows_out, LANES), lambda sc, w: (sc, 0),
-                             memory_space=pltpu.VMEM)
-                for _ in range(gamma)),
+            out_specs=pl.BlockSpec((1, TP_A * LANES, LANES),
+                                   lambda sc, w: (sc, 0, 0),
+                                   memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((LANES, LANES), jnp.float32),
                 pltpu.VMEM((SC, LANES), jnp.float32),
-                pltpu.VMEM((KA, PA, LANES, LANES), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         )
 
-        def body(win_s, wr_b, m_b, sa_b, rel_b, sel_b, xg_b, *rest):
-            outs, (slab, ce, ty, sem) = rest[:gamma], rest[gamma:]
+        def body(win_s, wr_b, m_b, sa_b, rel_b, sel_b, xg_b, out_b,
+                 slab, ce, sem):
             kern_a(win_s, wr_b[0], m_b[0], sa_b[0], rel_b[0], sel_b[0],
-                   xg_b, *outs, slab=slab, ce=ce, ty=ty, sem=sem)
+                   xg_b, out_b.at[0], slab=slab, ce=ce, sem=sem)
 
         return pl.pallas_call(
             body,
             grid_spec=grid_spec,
-            out_shape=tuple(
-                jax.ShapeDtypeStruct((n_sc * rows_out, LANES), jnp.float32)
-                for _ in range(gamma)),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_sc, TP_A * LANES, LANES), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
@@ -281,36 +292,30 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
     # ---------------- kernel B1 ------------------------------------------
     PB = _ceil(SUB, LANES)
 
-    def kern_b1(s1_ref, rel_ref, sel_ref, bin_ref, out_ref, z, tz):
-        # bin_ref: (SUB, 128) rows of this γ's BIN; tables for (γ, sb)
-        binv = bin_ref[...]
+    def kern_b1(s1_ref, rel_ref, sel_ref, bin_ref, out_ref):
+        binv = bin_ref[...].reshape(SUB, LANES)
         s1 = _i32(s1_ref[...])
         tzv = {}
         for k in range(KB1):
             zk = jnp.take_along_axis(binv, s1[k], axis=1)
             for p in range(PB):
                 tzv[k, p] = zk[p * LANES:(p + 1) * LANES, :].T
-        for d in range(cpg):
-            for t in range(TBr):
-                sel = _i32(sel_ref[d, t])
-                rel = _i32(rel_ref[d, t])
-                acc = jnp.zeros((LANES, LANES), jnp.float32)
-                for code in B1_live:
-                    k, p = code // PB, code % PB
-                    gth = jnp.take_along_axis(tzv[k, p], rel, axis=1)
-                    acc = jnp.where(sel == code, gth, acc)
-                out_ref[d, pl.ds(t * LANES, LANES), :] = acc.T
+        for t in range(TP_B):
+            sel = _i32(sel_ref[t])
+            rel = _i32(rel_ref[t])
+            acc = jnp.zeros((LANES, LANES), jnp.float32)
+            for code in B1_live:
+                k, p = code // PB, code % PB
+                gth = jnp.take_along_axis(tzv[k, p], rel, axis=1)
+                acc = jnp.where(sel == code, gth, acc)
+            out_ref[pl.ds(t * LANES, LANES), :] = acc.T
 
-    def run_b1(s1, rel, sel, bins):
-        # bins: (gamma, nsub*SUB, 128); staging out:
-        # (gamma, nsub, cpg, TBr*128, 128) — 5-D so kernel B2 can block-
-        # select one (γ, sb, δ) region
-        rows_out = TBr * LANES
-
-        def body(s1_b, rel_b, sel_b, bin_b, out_b, z, tz):
-            kern_b1(s1_b[0], rel_b[0][0], sel_b[0][0], bin_b[0],
-                    out_b.at[0, 0], z, tz)
-
+    def run_b1(s1, rel, sel, aout):
+        # aout: (n_sc, TP_A*128, 128) from kernel A; bin block for (γ, sb)
+        # = SCG superchunks × RAu packed region rows, reshaped to (512, 128)
+        def body(s1_b, rel_b, sel_b, bin_b, out_b):
+            kern_b1(s1_b[0], rel_b[0][0], sel_b[0][0], bin_b,
+                    out_b.at[0, 0])
 
         return pl.pallas_call(
             body,
@@ -319,37 +324,30 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
                 pl.BlockSpec((1, KB1, SUB, LANES),
                              lambda g, sb: (g, 0, sb, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, cpg, TBr, LANES, LANES),
-                             lambda g, sb: (g, sb, 0, 0, 0, 0),
+                pl.BlockSpec((1, 1, TP_B, LANES, LANES),
+                             lambda g, sb: (g, sb, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, cpg, TBr, LANES, LANES),
-                             lambda g, sb: (g, sb, 0, 0, 0, 0),
+                pl.BlockSpec((1, 1, TP_B, LANES, LANES),
+                             lambda g, sb: (g, sb, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, SUB, LANES), lambda g, sb: (g, sb, 0),
+                pl.BlockSpec((SCG, RAu, LANES),
+                             lambda g, sb: (sb, g, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, cpg, rows_out, LANES),
-                lambda g, sb: (g, sb, 0, 0, 0),
+                (1, 1, TP_B * LANES, LANES),
+                lambda g, sb: (g, sb, 0, 0),
                 memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(
-                (gamma, nsub, cpg, rows_out, LANES), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((1,), jnp.float32),
-                pltpu.VMEM((KB1, PB, LANES, LANES), jnp.float32),
-            ],
+                (gamma, nsub, TP_B * LANES, LANES), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(s1, rel, sel, bins)
+        )(s1, rel, sel, aout)
 
     # ---------------- kernel B2 ------------------------------------------
-    def kern_b2(s2_ref, rel_ref, sel_ref, stg_refs, out_ref, stage, tz):
-        # assemble staging rows (nsub pieces, RBu valid rows each)
-        for sb in range(nsub):
-            piece = stg_refs[sb][...]
-            stage[pl.ds(sb * RBu, RBu), :] = piece[:RBu]
-        stg = stage[...]
+    def kern_b2(s2_ref, rel_ref, sel_ref, stg_ref, out_ref):
+        stg = stg_ref[...].reshape(nsub * RBu, LANES)
         if PS * LANES > nsub * RBu:
             stg = jnp.pad(stg, ((0, PS * LANES - nsub * RBu), (0, 0)))
         s2 = _i32(s2_ref[...])
@@ -368,51 +366,43 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
         out_ref[...] = acc.T
 
     def run_b2(s2, rel, sel, staging):
-        # staging: (gamma, nsub, cpg*TBr*128, 128); per (γ, δ, sb) the
-        # piece at rows [(δ*TBr...) hm: B1 wrote (d, t) tiles at rows
-        # (d*TBr + t)*128; region rows RBu = TBr*128 occupied (RBu <=
-        # TBr*128). One input ref per sb selects its (RBu-range) block.
+        # staging: (gamma, nsub, TP_B*128, 128); δ's region = RBu rows at
+        # offset δ*RBu of dim 2 across all nsub sub-blocks — one block ref
         stage_pad = PS * LANES
 
-        def body(s2_b, rel_b, sel_b, *args):
-            stg = args[:nsub]
-            out_b, stage, tz = args[nsub], args[nsub + 1], args[nsub + 2]
-            kern_b2(s2_b[0][0], rel_b[0][0], sel_b[0][0],
-                    [s[0][0][0] for s in stg], out_b.at[0, 0],
-                    stage=stage, tz=tz)
+        def body(s2_b, rel_b, sel_b, stg_b, out_b):
+            kern_b2(s2_b[0][0], rel_b[0][0], sel_b[0][0], stg_b[0],
+                    out_b.at[0, 0])
 
-        in_specs = [
-            pl.BlockSpec((1, 1, KB2, stage_pad, LANES),
-                         lambda g, d: (g, d, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES, LANES), lambda g, d: (g, d, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES, LANES), lambda g, d: (g, d, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        stg_specs = [
-            pl.BlockSpec((1, 1, 1, TBr * LANES, LANES),
-                         (lambda sbv: (lambda g, d: (g, sbv, d, 0, 0)))(sb),
-                         memory_space=pltpu.VMEM)
-            for sb in range(nsub)
-        ]
         return pl.pallas_call(
             body,
             grid=(gamma, cpg),
-            in_specs=in_specs + stg_specs,
+            in_specs=[
+                pl.BlockSpec((1, 1, KB2, stage_pad, LANES),
+                             lambda g, d: (g, d, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, LANES, LANES),
+                             lambda g, d: (g, d, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, LANES, LANES),
+                             lambda g, d: (g, d, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nsub, RBu, LANES),
+                             lambda g, d: (g, 0, d, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            # chunk id is d * gamma + g (γ interleaved over chunks) — write
+            # each (γ, δ) block straight to its chunk slot so reshape(-1)
+            # of the output IS destination order
             out_specs=pl.BlockSpec((1, 1, CHROWS, LANES),
-                                   lambda g, d: (g, d, 0, 0),
+                                   lambda g, d: (d, g, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(
-                (gamma, cpg, CHROWS, LANES), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((nsub * RBu, LANES), jnp.float32),
-                pltpu.VMEM((KB2, PS, LANES, LANES), jnp.float32),
-            ],
+                (cpg, gamma, CHROWS, LANES), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(s2, rel, sel, *([staging] * nsub))
+        )(s2, rel, sel, staging)
 
     return jax.jit(run_a), jax.jit(run_b1), jax.jit(run_b2)
 
@@ -420,30 +410,22 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
 def shuffle_apply(packed: PackedRoute, xg: jax.Array,
                   interpret: bool = False) -> jax.Array:
     """xg: (nsrc_padded_rows*128,)-reshapeable 1-D x buffer; returns xe
-    (C2*DCH,) f32 in destination (ELL-flat) order."""
+    (C2*DCH,) f32 in destination order."""
     plan = packed.plan
     nrow_x = _ceil(plan.nsrc, LANES) + LANES
-    key = (packed.n_sc, packed.gamma, packed.cpg, packed.RAu, packed.TAr,
-           packed.nsub, packed.RBu, packed.TBr, packed.PS, nrow_x)
+    key = (packed.n_sc, packed.gamma, packed.cpg, packed.RAu, packed.TP_A,
+           packed.nsub, packed.RBu, packed.TP_B, packed.PS, nrow_x)
     run_a, run_b1, run_b2 = _shuffle_fns(
         key, tuple(packed.A_live), tuple(packed.B1_live),
         tuple(packed.B2_live), interpret)
 
     x2 = jnp.zeros((nrow_x * LANES,), jnp.float32) \
         .at[: xg.shape[0]].set(xg.astype(jnp.float32)).reshape(nrow_x, LANES)
-    bins = run_a((packed.win, packed.win_rel, packed.M, packed.SA,
+    aout = run_a((packed.win, packed.win_rel, packed.M, packed.SA,
                   packed.A_rel, packed.A_sel), x2)
-    # bins: tuple per γ of (n_sc*TAr*128, 128); rows per sc = TAr*128 >=
-    # RAu; B1 expects (gamma, nsub*SUB, 128) with RAu stride
-    binstack = jnp.stack([
-        b.reshape(packed.n_sc, packed.TAr * LANES, LANES)[:, : packed.RAu]
-        .reshape(packed.n_sc * packed.RAu, LANES) for b in bins])
-    pad = packed.nsub * SUB - binstack.shape[1]
-    if pad > 0:
-        binstack = jnp.pad(binstack, ((0, 0), (0, pad), (0, 0)))
-    staging = run_b1(packed.S1, packed.B1_rel, packed.B1_sel, binstack)
+    staging = run_b1(packed.S1, packed.B1_rel, packed.B1_sel, aout)
     out = run_b2(packed.S2, packed.B2_rel, packed.B2_sel, staging)
-    xe = out.reshape(-1)
+    xe = out.reshape(-1)[: plan.ndest]
     if packed.spill_dst is not None:
         vals = jnp.take(x2.reshape(-1), packed.spill_src)
         xe = xe.at[packed.spill_dst].set(vals)
@@ -466,10 +448,20 @@ def shuffle_available(backend, st) -> bool:
             and st.nnz >= (1 << 20))
 
 
-def build_spmv_shuffle(A, plan):
+def build_spmv_shuffle(A, plan, xlen):
     """Route plan + packed tables for A's ELL gather, cached per matrix
     structure (host build is O(nnz log nnz) numpy — the analogue of the
-    reference's plan-construction phase)."""
+    reference's plan-construction phase). Two TPU-first choices:
+    (1) destination order is ROW-MAJOR ELL (dest = r*W + w), which makes
+    every destination chunk — and hence every routing group γ/δ at every
+    binning level — a pure function of the destination ROW, statistically
+    independent of the column-sorted source stream. (Column-major ELL
+    makes γ the slot index w, which correlates perfectly with the source
+    column: measured RAu=512, 1.4 GB tables, 32 ms/SpMV. Row-major:
+    balanced bins at every level.) (2) the compressed-column-space map
+    (st.col_indices) is COMPOSED into the route sources, so the engine
+    reads the RAW x buffer — the per-call compression gather (a
+    scalar-issue take of ~|cols| elements) disappears entirely."""
     from ..cache import cached_plan
     from .shuffle_router import build_route
 
@@ -485,43 +477,189 @@ def build_spmv_shuffle(A, plan):
         if len(ip) > 1:
             lens[: len(ip) - 1] = np.minimum(np.diff(ip), W)
         mask = np.arange(W)[None, :] < lens[:, None]
-        src = np.where(mask, cols, -1).astype(np.int64).reshape(-1)
-        route = build_route(src, plan.exchange.out_pad)
+        src = np.where(mask, cols, -1).astype(np.int64)
+        ci = st.col_indices[0]
+        if len(ci):
+            src = np.where(src >= 0, ci[np.clip(src, 0, len(ci) - 1)], -1)
+        # per-row slot ROTATION by hash(r) (values rotated identically in
+        # _ell_values_bi): CSR columns are sorted, so slot w correlates
+        # with the column — without the rotation the routing groups of
+        # pass B2 concentrate on few final lanes and its banks overflow
+        # (measured 641k spills = 7.7%). The hash must be independent of
+        # r's LOW bits (a plain r % W rotation stays correlated with the
+        # lane structure — measured: no improvement).
+        src = np.take_along_axis(src, _slot_perm(Lrow, W), axis=1)
+        # SUBLANE-GROUPED destination layout: dest = (r//128)·(128·W)
+        # + w·128 + (r%128), i.e. xe reshaped (nb, W, 128) holds row r's
+        # W slots in ONE lane across W consecutive sublanes. The epilogue
+        # y = Σ_w v·xe is then a native sublane-axis reduce — the naive
+        # (Lrow, W) layout puts W in the lane dim (8 of 128 lanes live)
+        # and measured 3.0 ms of pure relayout per SpMV.
+        nb = _ceil(Lrow, LANES)
+        srcp = np.full((nb * LANES, W), -1, np.int64)
+        srcp[:Lrow] = src
+        src_bi = np.ascontiguousarray(
+            srcp.reshape(nb, LANES, W).transpose(0, 2, 1)).reshape(-1)
+        route = build_route(src_bi, xlen)
         return PackedRoute(route)
 
-    return cached_plan("spmv_shuffle", ("shuffle", plan.key), build)
+    return cached_plan("spmv_shuffle", ("shuffle-bi", plan.key, xlen), build)
+
+
+@lru_cache(maxsize=None)
+def _spmv_pipeline(key_shapes, A_live, B1_live, B2_live, Lrow, W, Tpad,
+                   pad_to, has_spill, interpret=False):
+    """ONE jitted executable for the whole shuffle SpMV: pad → kernel A →
+    B1 → B2 → spill scatter → per-row W-slot reduce → COO tail. A single
+    device dispatch per product (the per-op dispatch chain measured ~3×
+    the kernel time through the remote relay)."""
+    run_a, run_b1, run_b2 = _shuffle_fns(
+        key_shapes, A_live, B1_live, B2_live, interpret)
+    nrow_x = key_shapes[-1]
+
+    nb = _ceil(Lrow, LANES)
+
+    def whole(tables, xb, vbi, spill, tail):
+        (win, wr, m, sa, arel, asel, s1, b1rel, b1sel,
+         s2, b2rel, b2sel) = tables
+        g = xb[0].astype(jnp.float32)
+        gl = g.shape[0]
+        if gl > pad_to:
+            g = g[:pad_to]
+        # barrier: keep the scatter producer out of the gather consumers
+        # below (a fused producer forces XLA's scalar gather emitter)
+        x2 = jax.lax.optimization_barrier(
+            jnp.zeros((nrow_x * LANES,), jnp.float32)
+            .at[: min(gl, pad_to)].set(g)).reshape(nrow_x, LANES)
+        aout = run_a((win, wr, m, sa, arel, asel), x2)
+        staging = run_b1(s1, b1rel, b1sel, aout)
+        out = run_b2(s2, b2rel, b2sel, staging)
+        xe = jax.lax.optimization_barrier(
+            out.reshape(-1)[: nb * W * LANES]).reshape(nb, W, LANES)
+        y = jnp.sum(vbi * xe, axis=1).reshape(nb * LANES)[:Lrow]
+        if has_spill:
+            # spilled dest slots are exactly the slots NO bank wrote (their
+            # selector is dead), so xe there is 0 — add the contribution
+            # straight into y instead of scattering into the 33 MB xe
+            # buffer (that scatter fused into the reduce costs ~20 ms).
+            spill_src, spill_row, spill_val = spill
+            sv = jax.lax.optimization_barrier(
+                jnp.take(x2.reshape(-1), spill_src))
+            y = y.at[spill_row].add(spill_val * sv, mode="drop",
+                                    indices_are_sorted=True)
+        if Tpad:
+            tvals, trows, tgidx = tail
+            y = y.at[trows].add(
+                tvals.astype(jnp.float32) * jnp.take(g, tgidx),
+                mode="drop")
+        return y[None]
+
+    return jax.jit(whole)
 
 
 def shuffle_spmv(A, plan, xb, interpret: bool = False):
-    """y = A @ x through the shuffle engine: xe = shuffle(x) in ELL order,
-    then a pure elementwise multiply + lane reduction (no gathers) plus
-    the standard COO tail. xb: (1, Lin) stacked block (identity or
-    gathered). Returns (1, Lrow) f32."""
-    from .spmv import _ell_values, _pad_trunc
+    """y = A @ x through the shuffle engine: xe = shuffle(x) in
+    sublane-grouped ELL order, then a pure elementwise multiply + sublane
+    reduction (no gathers) plus the standard COO tail. xb: (1, Lin)
+    stacked block (identity or gathered). Returns (1, Lrow) f32."""
+    from .spmv import _ell_values
 
     st = A.structure
-    packed = build_spmv_shuffle(A, plan)
-    g = xb if plan.exchange.is_identity else plan.exchange.apply(xb)
-    g = _pad_trunc(g, plan.exchange.out_pad)
-    xe = shuffle_apply(packed, g[0], interpret=interpret)
+    xlen = int(xb.shape[1])          # raw x buffer — no compression gather
+    packed = build_spmv_shuffle(A, plan, xlen)
     W, Lrow = plan.ell_W, st.Lrow
-    vals, tvals = _ell_values(A, plan)
-    y = _shuffle_epilogue(vals.astype(jnp.float32),
-                          xe, Lrow, W)
+    vrm = _ell_values_bi(A, plan)
+    nrow_x = _ceil(packed.plan.nsrc, LANES) + LANES
+    key = (packed.n_sc, packed.gamma, packed.cpg, packed.RAu, packed.TP_A,
+           packed.nsub, packed.RBu, packed.TP_B, packed.PS, nrow_x)
+    has_spill = packed.spill_dst is not None
+    fn = _spmv_pipeline(
+        key, tuple(packed.A_live), tuple(packed.B1_live),
+        tuple(packed.B2_live), Lrow, W, plan.ell_Tpad,
+        xlen, has_spill, interpret)
+    tables = (packed.win, packed.win_rel, packed.M, packed.SA,
+              packed.A_rel, packed.A_sel, packed.S1, packed.B1_rel,
+              packed.B1_sel, packed.S2, packed.B2_rel, packed.B2_sel)
+    spill = _spill_epilogue_tables(A, plan, packed, vrm, W) \
+        if has_spill else ()
     if plan.ell_Tpad:
-        tv = tvals.astype(jnp.float32)[0]
-        tg = jnp.take(g[0].astype(jnp.float32), plan.ell_tail_gidx[0])
-        y = y.at[0, plan.ell_tail_rows[0]].add(
-            tv * tg, mode="drop")
-    return y
+        _, tvals = _ell_values(A, plan)
+        tail = (tvals[0], plan.ell_tail_rows[0],
+                _tail_gidx_raw(A, plan))
+    else:
+        tail = ()
+    return fn(tables, xb, vrm, spill, tail)
 
 
-from functools import partial
+def _spill_epilogue_tables(A, plan, packed, vbi, W):
+    """Static per-matrix spill tables for the y-side epilogue: the
+    destination row (decoded from the sublane-grouped dest index) and the
+    matrix value at the spilled slot (gathered once from vbi, cached).
+    Rows are pre-sorted so the scatter-add can use the sorted path."""
+    cache = A._engine_cache
+    hit = cache.get(("spill_epi", plan.key))
+    if hit is not None:
+        return hit
+    dst = np.asarray(packed.spill_dst, np.int64)
+    # dest = b·(128·W) + w·128 + l ; row = b·128 + l
+    rows = (dst // (LANES * W)) * LANES + dst % LANES
+    o = np.argsort(rows, kind="stable")
+    spill_row = jnp.asarray(rows[o].astype(np.int32))
+    spill_val = jax.device_put(
+        jnp.take(vbi.reshape(-1), jnp.asarray(dst[o])))
+    spill_src = jnp.asarray(np.asarray(packed.spill_src)[o])
+    out = (spill_src, spill_row, spill_val)
+    cache[("spill_epi", plan.key)] = out
+    return out
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _shuffle_epilogue(vals, xe, Lrow, W):
-    # vals (1, Lrow, W); xe (>= Lrow*W,) in ELL-flat order
-    xev = jax.lax.optimization_barrier(
-        xe[: Lrow * W].reshape(Lrow, W))
-    return jnp.sum(vals[0] * xev, axis=1)[None]
+def _tail_gidx_raw(A, plan):
+    """COO-tail gather indices composed with the compressed-column map, so
+    the tail reads the raw x buffer like the main engine."""
+    cache = A._engine_cache
+    hit = cache.get(("tail_raw", plan.key))
+    if hit is not None:
+        return hit
+    st = A.structure
+    ci = st.col_indices[0]
+    tg = plan.ell_tail_gidx_np[0].astype(np.int64)
+    raw = ci[np.clip(tg, 0, max(len(ci) - 1, 0))] if len(ci) else tg
+    out = jnp.asarray(raw.astype(np.int32))
+    cache[("tail_raw", plan.key)] = out
+    return out
+
+
+def _slot_perm(Lrow: int, W: int) -> np.ndarray:
+    """(Lrow, W) int32 per-row slot permutation: row r's slots rotated by
+    a multiplicative hash of r (Knuth constant, top bits) so the rotation
+    is independent of r's low bits."""
+    r = np.arange(Lrow, dtype=np.uint32)
+    rot = ((r * np.uint32(2654435761)) >> np.uint32(16)).astype(np.int64) % W
+    return ((np.arange(W)[None, :] - rot[:, None]) % W).astype(np.int32)
+
+
+def _ell_values_bi(A, plan):
+    """Sublane-grouped (nb, W, 128) f32 ELL value table, cached per
+    matrix, with each row's slots permuted by _slot_perm — the same
+    per-row permutation build_spmv_shuffle applies to the route sources
+    (y[r] = Σ_w v·xe is invariant to a per-row slot permutation applied
+    to both)."""
+    from .spmv import _ell_values
+
+    cache = getattr(A, "_engine_cache", None)
+    if cache is None:
+        cache = A._engine_cache = {}
+    hit = cache.get(("ell_bi", plan.key))
+    if hit is not None:
+        return hit
+    vals, _ = _ell_values(A, plan)              # (S, Lrow, W)
+    v0 = vals[0].astype(jnp.float32)
+    Lrow, W = v0.shape
+    nb = _ceil(Lrow, LANES)
+    perm = jax.device_put(_slot_perm(Lrow, W))
+    vr = jnp.take_along_axis(v0, perm, axis=1)
+    vr = jnp.pad(vr, ((0, nb * LANES - Lrow), (0, 0)))
+    vbi = jax.device_put(
+        jnp.transpose(vr.reshape(nb, LANES, W), (0, 2, 1)))
+    cache[("ell_bi", plan.key)] = vbi
+    return vbi

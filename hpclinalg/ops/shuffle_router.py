@@ -29,7 +29,17 @@ STRUCTURE; values never move) into a two-pass routing program:
 Duplicated reads (one x element feeding many dest slots) are free: LG/CG
 may read an element any number of times. Conflicts beyond the bank budget
 and pathological window spans spill to a tiny COO list handled by the XLA
-epilogue (plan-reported, typically <0.1%).
+epilogue (plan-reported, typically <1%).
+
+Balance is the whole game: routing-group assignments must be
+statistically INDEPENDENT of the (column-sorted) source stream, or single
+bins swallow whole superchunks and the packed regions/tables blow up.
+Hence (a) γ is interleaved over destination chunks (chunk % gamma), and
+(b) the SpMV glue (pallas_shuffle.build_spmv_shuffle) lays destinations
+out so chunk ids are functions of the destination ROW and rotates ELL
+slots per row by a hash of r (measured on the 1M×1M / 8-nnz-per-row
+random SpMV: these three choices together take the route from RAu=512 /
+1.4 GB tables / 32 ms to RAu=64 / 0.3 GB / 7.4 ms on v5e).
 
 `simulate()` executes the emitted tables with numpy LG/TR semantics — the
 kernels in pallas_shuffle.py mirror it op for op.
@@ -47,7 +57,7 @@ CHROWS = 128        # dest chunk rows
 DCH = CHROWS * LANES
 KA = 6              # banks: pass-A binning
 KB1 = 5             # banks: pass-B first-level binning
-KB2 = 4             # banks: pass-B exact placement
+KB2 = 5             # banks: pass-B exact placement
 SUB = 512           # pass-B sub-block rows
 
 
@@ -83,6 +93,7 @@ class RoutePlan:
     gamma: int
     cpg: int
     nsub: int
+    RAu: int                      # uniform region stride (pow2, SUB % RAu == 0)
     win: np.ndarray               # (n_sc,) slab base row
     win_rel: np.ndarray           # (T1,) int window row rel. to slab
     M: np.ndarray                 # (T1, 128) lane within window
@@ -166,7 +177,13 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
     d_chunk = e_dst // DCH
     d_row = (e_dst % DCH) // LANES
     d_lane = e_dst % LANES
-    d_gamma = d_chunk // cpg
+    # γ INTERLEAVED over chunks (chunk % gamma, not chunk // cpg): for a
+    # column-major-ELL destination stream the block assignment makes γ the
+    # ELL slot index w, which correlates perfectly with the column-sorted
+    # source position — single (sc, γ) bins then swallow whole superchunks
+    # (measured RAu=512, 1.4 GB tables, 32 ms). Interleaving makes γ a
+    # function of the destination ROW block, independent of the source.
+    d_gamma = d_chunk % gamma
     e_sc = e_row // SC
 
     # --- pass A (vectorized, conflict-free): bin by γ, fill sorted by
@@ -189,8 +206,11 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
     # SA banks: the slot-lane sequence restarts per group, so elements of
     # one ce row can land on the same slot lane across groups — banked
     bankA = _bank_by_srclane(e_row * LANES + a_lane, e_lane)
+    _n_win_spill = int(spilled.sum())
+    _n_rank_a = int((~okA & ~spilled).sum())
     okA &= bankA < KA
     spilled |= ~okA
+    _n_bank_a = int(spilled.sum()) - _n_win_spill - _n_rank_a
 
     SA = np.zeros((KA, T1, LANES), np.int32)
     A_brow = np.zeros((n_sc, RAsum, LANES), np.int16)
@@ -201,13 +221,19 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
     A_bank[e_sc[sel], a_row[sel], a_lane[sel]] = bankA[sel]
 
     # --- pass B ----------------------------------------------------------
-    nsub_all = max(1, -(-(n_sc * (int(RA.max()) if len(RA) else 1)) // SUB))
     B1_S, B1_brow, B1_bank, RBl = [], [], [], []
     B2_S, B2_brow, B2_bank = [], [], []
     okB = np.zeros(ne, bool)
+    _n_rank_b1 = _n_bank_b1 = _n_bank_b2 = 0
     # uniform BIN stride across groups: bin row = sc * RAu + region row,
-    # so kernel shapes are identical for every γ (dead rows stay zero)
-    RAu = int(RA.max()) if len(RA) else 1
+    # so kernel shapes are identical for every γ (dead rows stay zero).
+    # RAu is rounded to a power of two dividing SUB so the kernels can
+    # block-select any γ's region directly out of pass A's packed output.
+    RAu = 8
+    while RAu < (int(RA.max()) if len(RA) else 1):
+        RAu *= 2
+    RAu = min(RAu, SUB)
+    nsub_all = max(1, -(-(n_sc * RAu) // SUB))
     for g in range(gamma):
         nrows_bin = n_sc * RAu
         nsub = max(1, -(-nrows_bin // SUB))
@@ -215,7 +241,7 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
         bin_row = e_sc[sel] * RAu + (a_row[sel] - RAoff[g])
         bin_lane = a_lane[sel]
         sub = bin_row // SUB
-        delta = d_chunk[sel] - g * cpg
+        delta = d_chunk[sel] // gamma
 
         # fill order: round-robin over final lanes within (sub, δ), so the
         # B2 stage sees ~one element per (staging row, final lane)
@@ -234,9 +260,11 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
         b_row = RBoff[delta] + rankB // LANES
         b_lane = rankB % LANES
         ok1 = rankB // LANES < RB[delta]
+        _n_rank_b1 += int((~ok1).sum())
         # banks for the B1 LG step: per (bin row, slot lane) distinct
         # source lanes get successive banks (same source lane shares)
         bank1 = _bank_by_srclane(bin_row * LANES + b_lane, bin_lane)
+        _n_bank_b1 += int((ok1 & (bank1 >= KB1)).sum())
         ok1 &= bank1 < KB1
         okg = ok1
 
@@ -260,6 +288,7 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
             fr = d_row[sel[s3]]
             bank2 = _bank_by_srclane(stg_row * LANES + fl, stg_lane)
             ok2 = bank2 < KB2
+            _n_bank_b2 += int((~ok2).sum())
             S2 = np.zeros((KB2, stage_rows, LANES), np.int32)
             brow2 = np.zeros((CHROWS, LANES), np.int16)
             bank2t = np.full((CHROWS, LANES), 255, np.uint8)
@@ -282,7 +311,7 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
     spill = ~okB
     return RoutePlan(
         nsrc=nsrc, ndest=C2 * DCH, T1=T1, n_superchunks=n_sc, C2=C2,
-        gamma=gamma, cpg=cpg, nsub=nsub_all,
+        gamma=gamma, cpg=cpg, nsub=nsub_all, RAu=RAu,
         win=win, win_rel=win_rel, M=M, SA=SA, RA=RA,
         A_brow=A_brow, A_bank=A_bank,
         B1_S=B1_S, B1_brow=B1_brow, B1_bank=B1_bank, RB=RBl,
@@ -290,6 +319,9 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
         spill_dst=e_dst[spill], spill_src=e_src[spill],
         stats={"emissions": ne, "spill": int(spill.sum()),
                "spill_frac": float(spill.sum()) / max(ne, 1),
+               "spill_win": _n_win_spill, "spill_rank_a": _n_rank_a,
+               "spill_bank_a": _n_bank_a, "spill_rank_b1": _n_rank_b1,
+               "spill_bank_b1": _n_bank_b1, "spill_bank_b2": _n_bank_b2,
                "T1": T1, "C2": C2, "gamma": gamma, "cpg": cpg,
                "RA": RA.tolist()})
 
@@ -339,7 +371,7 @@ def simulate(plan: RoutePlan, x: np.ndarray) -> np.ndarray:
 
     xe = np.zeros(plan.ndest, dt)
     RAoff = np.concatenate([[0], np.cumsum(plan.RA)])
-    RAu = int(plan.RA.max()) if len(plan.RA) else 1
+    RAu = plan.RAu
     for g in range(gamma):
         Rg = int(plan.RA[g])
         BIN = np.zeros((plan.n_superchunks * RAu, LANES), dt)
@@ -380,7 +412,7 @@ def simulate(plan: RoutePlan, x: np.ndarray) -> np.ndarray:
                 m = bk == k
                 if m.any():
                     out[m] = _cg(Zk[k], brow)[m]
-            chunk = g * cpg + d
+            chunk = d * gamma + g
             if chunk < plan.C2:
                 xe[chunk * DCH:(chunk + 1) * DCH] = out.reshape(-1)
 

@@ -193,6 +193,7 @@ class SpMVPlan:
                 tscat[s, p] = np.arange(r.size)
             self.ell_tail_rows = jax.device_put(trows, sh())
             self.ell_tail_gidx = jax.device_put(tgidx, sh())
+            self.ell_tail_gidx_np = tgidx      # for shuffle-tier composition
             self.ell_tail_scat = jax.device_put(tscat, sh())
 
 
