@@ -69,17 +69,26 @@ def _cg(X, B):
     return np.take_along_axis(X, B, axis=0)
 
 
+def _cumcount_sorted(ks):
+    """Rank within key group for an ALREADY-SORTED key array — O(n), no
+    sort. (The general _cumcount pays an argsort; most call sites in
+    build_route operate on keys that are sorted by construction.)"""
+    n = len(ks)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    new = np.empty(n, bool)
+    new[0] = True
+    np.not_equal(ks[1:], ks[:-1], out=new[1:])
+    grp_start = np.flatnonzero(new)
+    return np.arange(n, dtype=np.int64) - np.repeat(
+        grp_start, np.diff(np.concatenate([grp_start, [n]])))
+
+
 def _cumcount(keys):
     """Rank of each element within its key group (keys int64)."""
     order = np.argsort(keys, kind="stable")
-    ks = keys[order]
-    new = np.concatenate([[True], np.diff(ks) != 0]) if len(ks) else \
-        np.zeros(0, bool)
-    grp_start = np.flatnonzero(new)
-    within = np.arange(len(ks)) - np.repeat(
-        grp_start, np.diff(np.concatenate([grp_start, [len(ks)]])))
     out = np.empty(len(keys), np.int64)
-    out[order] = within
+    out[order] = _cumcount_sorted(keys[order])
     return out
 
 
@@ -193,7 +202,7 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
                        minlength=n_sc * gamma).reshape(n_sc, gamma)
     orderA = np.lexsort((e_lane, e_row, d_gamma, e_sc))
     grpA = (e_sc * gamma + d_gamma)[orderA]
-    withinA = _cumcount(grpA)
+    withinA = _cumcount_sorted(grpA)
     rankA = np.empty(ne, np.int64)
     rankA[orderA] = withinA
 
@@ -249,7 +258,7 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
         seq_key = (rr * LANES + d_lane[sel])
         orderB = np.lexsort((seq_key, delta, sub))
         grpB = (sub * cpg + delta)[orderB]
-        withinB = _cumcount(grpB)
+        withinB = _cumcount_sorted(grpB)
         rankB = np.empty(len(sel), np.int64)
         rankB[orderB] = withinB
         cntB = np.bincount(sub * cpg + delta,
@@ -328,11 +337,31 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
 
 def _bank_by_srclane(dst_key, src_lane):
     """Bank id: rank of the element's DISTINCT source lane within its
-    destination key group (same source lane shares a bank)."""
+    destination key group (same source lane shares a bank). One stable
+    sort of the combined key; in sorted order a bank increments exactly
+    at each NEW (dst_key, src_lane) pair within a dst_key run."""
+    n = len(dst_key)
+    if n == 0:
+        return np.zeros(0, np.int64)
     comb = dst_key * LANES + src_lane
-    du, inv = np.unique(comb, return_inverse=True)
-    bank_per_key = _cumcount(du // LANES)
-    return bank_per_key[inv]
+    order = np.argsort(comb, kind="stable")
+    cs = comb[order]
+    new_pair = np.empty(n, bool)
+    new_pair[0] = True
+    np.not_equal(cs[1:], cs[:-1], out=new_pair[1:])
+    ds = cs // LANES
+    new_grp = np.empty(n, bool)
+    new_grp[0] = True
+    np.not_equal(ds[1:], ds[:-1], out=new_grp[1:])
+    # bank = (#new pairs so far in this group) - 1, computed as a global
+    # running count minus its value at the group start
+    run = np.cumsum(new_pair)
+    base = run[np.flatnonzero(new_grp)]
+    grp_id = np.cumsum(new_grp) - 1
+    bank_sorted = run - base[grp_id]  # 0-based within group (run includes self)
+    out = np.empty(n, np.int64)
+    out[order] = bank_sorted
+    return out
 
 
 def _bank_vec(samekey):

@@ -1223,6 +1223,11 @@ class DeviceFactorization:
         align automatically). ``extended`` (default: auto for f32 vector
         solves on DIA/ELL-tier patterns) switches to the compensated
         double-f32 refinement (_extended_refine)."""
+        # explicit extended=True buys the full sweep budget (reference-f64
+        # tolerance class); the auto default keeps the fast cap so routine
+        # f32 solves stay ~refine-cost while still gaining the compensated
+        # residual's accuracy
+        explicit_ext = extended is True
         if extended is None:
             extended = self.engine.dtype == jnp.float32
         # the RHS stays row-distributed end-to-end (VERDICT r2 #4): align
@@ -1245,7 +1250,8 @@ class DeviceFactorization:
                     stacklevel=4)
             return Xd
         if extended:
-            ext = self._extended_refine(Bd, Xd, transpose, refine)
+            ext = self._extended_refine(Bd, Xd, transpose, refine,
+                                        full_budget=explicit_ext)
             if ext is not None:
                 return ext
         Aop = self.A.T if transpose else self.A
@@ -1267,11 +1273,16 @@ class DeviceFactorization:
 
     # extended refinement: stop once the compensated relative residual hits
     # ~double-f32 noise (well past the 1e-9 target; the pair (xh, xl)
-    # carries ~48 bits so the floor is set by the factor's contraction rate)
+    # carries ~48 bits so the floor is set by the factor's contraction
+    # rate). The sweep cap is its own budget, NOT the plain-refine cap:
+    # with bf16x3 fronts the contraction on the 2D 10^6 Laplacian is
+    # ~0.4/sweep (measured, cond ~4e5), so reaching 5e-10 from ~1e-3
+    # takes ~16 sweeps; the loop exits early on well-conditioned systems.
     _EXT_RTOL = 5e-10
-    _EXT_EXTRA_SWEEPS = 3
+    _EXT_MAX_SWEEPS = 24
 
-    def _extended_refine(self, Bd, Xd, transpose, refine):
+    def _extended_refine(self, Bd, Xd, transpose, refine,
+                         full_budget: bool = False):
         """Double-f32 iterative refinement (VERDICT r2 #3): the solution is
         carried as an unevaluated (xh, xl) pair and the residual SpMV runs
         in compensated arithmetic (ops/compensated.py), so on-chip f32
@@ -1302,7 +1313,9 @@ class DeviceFactorization:
         bn = float(Bd.norm())
         b32 = Bd.data.astype(jnp.float32)
         prev = np.inf
-        for _ in range(refine + self._EXT_EXTRA_SWEEPS):
+        cap = max(refine, self._EXT_MAX_SWEEPS) if full_budget \
+            else refine + 3
+        for _ in range(cap):
             r = residual_compensated(Am, plan, xh, xl, b32)
             rn = float(jnp.linalg.norm(r))
             if bn > 0 and (rn <= self._EXT_RTOL * bn or rn >= 0.9 * prev):

@@ -152,7 +152,19 @@ class DistVector:
         HPCLinearAlgebra.jl:817-870). Returns a WRITABLE copy — users
         commonly do ``x = F.solve(b); x += dx``. The device gather itself is
         cached read-only (see to_numpy_ro); the host memcpy per call is cheap
-        next to the relay round-trip the cache saves."""
+        next to the relay round-trip the cache saves.
+
+        Extended-precision solves on f32-only platforms attach the
+        double-f32 pair as ``_ext_pair``; combine it in f64 on host so the
+        returned array keeps the extended accuracy (collapsing to one f32
+        would re-lose everything below ~1e-7)."""
+        pair = getattr(self, "_ext_pair", None)
+        if pair is not None:
+            xh, xl = pair
+            hi = DistVector(xh, self.partition, self.backend)
+            lo = DistVector(xl, self.partition, self.backend)
+            return hi.to_numpy_ro().astype(np.float64) + \
+                lo.to_numpy_ro().astype(np.float64)
         return self.to_numpy_ro().copy()
 
     def to_numpy_ro(self) -> np.ndarray:
