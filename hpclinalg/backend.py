@@ -45,6 +45,14 @@ class Backend:
     def nshards(self) -> int:
         return int(self.mesh.size)
 
+    @property
+    def complex_capable(self) -> bool:
+        """Whether the platform can hold complex dtypes at all. The current
+        TPU generation cannot even device_put complex64 (runtime
+        UNIMPLEMENTED); complex solves there go through the realified 2n
+        real form (solver/complexify.py)."""
+        return self.mesh.devices.flat[0].platform == "cpu"
+
     @cached_property
     def key(self) -> tuple:
         """Hashable identity for plan-cache keys. Device ids are only
@@ -52,6 +60,18 @@ class Backend:
         so the platform is part of the identity."""
         dev = tuple((d.platform, d.id) for d in self.mesh.devices.flat)
         return (dev, np.dtype(self.dtype).str, np.dtype(self.index_dtype).str)
+
+    def check_dtype(self, dtype) -> None:
+        """Raise early (with guidance) for dtypes the platform cannot hold —
+        the runtime's own failure is a cryptic device_put UNIMPLEMENTED."""
+        if np.issubdtype(np.dtype(dtype), np.complexfloating) \
+                and not self.complex_capable:
+            raise NotImplementedError(
+                "this TPU runtime cannot represent complex dtypes; use "
+                "solver.ComplexDeviceFactorization (realified 2n form) for "
+                "complex solves/SpMV on chip, or a CPU-mesh backend "
+                "(backend_auto(platform='cpu')) for full complex container "
+                "support")
 
     def row_sharding(self, extra_dims: int = 0) -> NamedSharding:
         """Sharding for stacked-shard arrays (S, local, ...): axis 0 over rows."""

@@ -71,6 +71,7 @@ class DistDenseMatrix:
     def from_global(arr, backend: Backend, row_partition=None, dtype=None):
         """Ref global ctor (dense.jl:185)."""
         arr = np.asarray(arr)
+        backend.check_dtype(dtype or arr.dtype)
         m, n = arr.shape
         rp = (validate_partition(row_partition, m) if row_partition is not None
               else uniform_partition(m, backend.nshards))

@@ -205,6 +205,7 @@ class DistSparseMatrix:
         rows (ref global ctor, sparse.jl:398-409)."""
         A = sp.csr_matrix(A)
         A.sort_indices()
+        backend.check_dtype(dtype or A.dtype)
         m, n = A.shape
         rp = (validate_partition(row_partition, m) if row_partition is not None
               else uniform_partition(m, backend.nshards))

@@ -103,6 +103,7 @@ class DistVector:
                     dtype=None) -> "DistVector":
         """Build from a replicated full array (ref global ctor, vectors.jl:119)."""
         arr = np.asarray(arr)
+        backend.check_dtype(dtype or arr.dtype)
         n = arr.shape[0]
         p = validate_partition(partition, n) if partition is not None else uniform_partition(n, backend.nshards)
         L = padded_size(p)
