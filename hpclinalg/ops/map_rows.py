@@ -64,6 +64,8 @@ def map_rows(fn, *args, out_dtype=None):
     from ..vector import DistVector
 
     v0 = args[0]
+    if not isinstance(v0, (DistVector, DistDenseMatrix)):
+        raise TypeError(f"map_rows argument of type {type(v0)}")
     backend = v0.backend
     part = v0.partition if isinstance(v0, DistVector) else v0.row_partition
     aligned = []

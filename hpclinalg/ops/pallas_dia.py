@@ -28,7 +28,7 @@ from ..backend import AXIS
 TR = 131072  # rows per tile: multiple of 128, sized for ~7 MB of VMEM
 # below this per-shard row count the XLA DIA path wins (its dispatch is
 # lighter and everything is dominated by the per-call floor anyway)
-MIN_ROWS = 1 << 21
+MIN_ROWS = 1 << 19
 
 
 def pallas_available(backend, Lrow: int = MIN_ROWS) -> bool:
@@ -47,13 +47,113 @@ def pallas_available(backend, Lrow: int = MIN_ROWS) -> bool:
 @lru_cache(maxsize=None)
 def _pallas_dia_fn(offsets: tuple, Lrow: int, Lin: int, interpret: bool = False):
     """offsets: static diagonal offsets (gathered-index space); Lrow: output
-    rows per shard; Lin: length of the input (x or gathered) buffer."""
+    rows per shard; Lin: length of the input (x or gathered) buffer.
+
+    The x window of tile i overlaps tile i+1's by the offset span, so it
+    cannot ride Pallas's automatic input pipelining (blocks must tile).
+    Classic manual double-buffering instead: two VMEM window buffers with
+    their own DMA semaphores; iteration i starts the prefetch of window
+    i+1 into the other buffer before waiting on its own (VERDICT r2 #6).
+    The dval blocks are plain BlockSpec inputs and pipeline automatically.
+    (An attempted 'split the window into aligned main+halo blocks and
+    concatenate in-kernel' variant was 7x SLOWER — value-land unaligned
+    slices of a 130k-element vector generate register shift chains; the
+    ref-based pl.ds reads are nearly free.)"""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     minoff, maxoff = min(offsets), max(offsets)
     span = maxoff - minoff
-    span_pad = ((span + 1023) // 1024) * 1024  # VMEM slices need 1024-alignment
+    span_pad = ((span + 1023) // 1024) * 1024  # VMEM slices: 1024-aligned
+    ntiles = -(-Lrow // TR)
+    npad = ntiles * TR
+    O = len(offsets)
+    WIN = TR + span_pad
+
+    def kern(dval_ref, xp_ref, y_ref, xw0, xw1, sem0, sem1):
+        i = pl.program_id(0)
+
+        def start(j, buf, sem):
+            pltpu.make_async_copy(
+                xp_ref.at[pl.ds(j * TR, WIN)], buf, sem).start()
+
+        def finish(j, buf, sem):
+            pltpu.make_async_copy(
+                xp_ref.at[pl.ds(j * TR, WIN)], buf, sem).wait()
+
+        def compute(xw):
+            acc = jnp.zeros((TR,), jnp.float32)
+            for t, o in enumerate(offsets):
+                acc = acc + dval_ref[t, :] * xw[pl.ds(o - minoff, TR)]
+            y_ref[:] = acc
+
+        @pl.when(i == 0)
+        def _():
+            start(0, xw0, sem0)
+
+        @pl.when(i % 2 == 0)
+        def _():
+            @pl.when(i + 1 < ntiles)
+            def _():
+                start(i + 1, xw1, sem1)
+
+            finish(i, xw0, sem0)
+            compute(xw0)
+
+        @pl.when(i % 2 == 1)
+        def _():
+            @pl.when(i + 1 < ntiles)
+            def _():
+                start(i + 1, xw0, sem0)
+
+            finish(i, xw1, sem1)
+            compute(xw1)
+
+    @jax.jit
+    def run(dval_pad, xb):
+        # dval_pad: (1, O, npad) f32 (pre-padded table); xb: (1, Lin)
+        x = xb[0].astype(jnp.float32)
+        # xp[j] must equal x[j + minoff]
+        if minoff < 0:
+            x = jnp.pad(x, (-minoff, 0))
+        elif minoff > 0:
+            x = x[minoff:]
+        need = npad + span_pad
+        cur = x.shape[0]
+        x = jnp.pad(x, (0, need - cur)) if cur < need else x[:need]
+        y = pl.pallas_call(
+            kern,
+            grid=(ntiles,),
+            in_specs=[pl.BlockSpec((O, TR), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((TR,), lambda i: (i,),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((npad,), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((WIN,), jnp.float32),
+                pltpu.VMEM((WIN,), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(dval_pad[0], x)
+        return y[:Lrow][None]
+
+    return run, npad
+
+
+@lru_cache(maxsize=None)
+def _pallas_dia_fn_monolithic(offsets: tuple, Lrow: int, Lin: int,
+                              interpret: bool = False):
+    """Fallback for offset spans wider than a tile (> TR): one manual DMA
+    of the whole overlapping window per tile (the original kernel)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    minoff, maxoff = min(offsets), max(offsets)
+    span = maxoff - minoff
+    span_pad = ((span + 1023) // 1024) * 1024
     ntiles = -(-Lrow // TR)
     npad = ntiles * TR
     O = len(offsets)
@@ -76,9 +176,7 @@ def _pallas_dia_fn(offsets: tuple, Lrow: int, Lin: int, interpret: bool = False)
 
     @jax.jit
     def run(dval_pad, xb):
-        # dval_pad: (1, O, npad) f32 (pre-padded table); xb: (1, Lin)
         x = xb[0].astype(jnp.float32)
-        # xp[j] must equal x[j + minoff]
         if minoff < 0:
             x = jnp.pad(x, (-minoff, 0))
         elif minoff > 0:

@@ -51,3 +51,8 @@ def _cache_guard():
     sizes = hl.cache_sizes()
     for name, nentries in sizes.items():
         assert nentries < 600, f"plan cache {name} leaked: {sizes}"
+
+
+@pytest.fixture
+def be8():
+    return hl.backend_auto(nshards=8)
