@@ -23,8 +23,7 @@ import numpy as np
 from ..cache import cached_plan, plan_cache
 from .multifrontal import NumericFactor, factorize, solve_factored, _PERT_REL
 from .native import NativeFactor, load_mf
-from .ordering import amd_order
-from .symbolic import SymbolicFactor, analyze
+from .symbolic import SymbolicFactor, analyze_best
 
 
 def _get_symbolic(A) -> SymbolicFactor:
@@ -33,9 +32,7 @@ def _get_symbolic(A) -> SymbolicFactor:
 
     def build():
         A_csr = A.pattern_csr()  # symbolic phase never reads values
-        perm = amd_order(A_csr.indptr.astype(np.int64),
-                         A_csr.indices.astype(np.int64), A.m)
-        return analyze(A_csr, perm)
+        return analyze_best(A_csr)
 
     return cached_plan("symbolic", (A.hash,), build)
 

@@ -341,10 +341,12 @@ class DeviceMF:
         # intensity, 2D-stencil-class) trees: merge harder — explicit-zero
         # flops are cheap on the MXU, scatter elements and wave levels are
         # not (measured n=262k 2D: 665 -> 553 ms steady). Flop-dominated 3D
-        # trees (high flops/lnz) keep the lean host setting.
+        # trees (high flops/lnz) keep the lean host setting. analyze_best
+        # additionally tries nested dissection in this regime (balanced
+        # separator tree, ~half the flops on 2D grids).
         if sym.lnz and sym.flops / sym.lnz < 3000:
-            sym = symbolic.analyze(A_csr, perm, relax=64, zeros_frac=0.5,
-                                   small=64)
+            sym = symbolic.analyze_best(A_csr, relax=64, zeros_frac=0.5,
+                                        small=64)
         self.sym = sym
         ns = sym.nsuper
         ptr, rows_of = sym.snode_ptr, sym.snode_rows

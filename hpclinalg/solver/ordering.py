@@ -112,3 +112,90 @@ def _bfs_last_level(root, indptr, indices, visited_mask):
             last = nxt[-1]
         frontier = nxt
     return last
+
+
+# ---------------------------------------------------------------------------
+# nested dissection (George-Liu level-structure bisection)
+# ---------------------------------------------------------------------------
+
+def nd_order(indptr, indices, n, leaf: int = 256) -> np.ndarray:
+    """Nested-dissection permutation (new-to-old) of a symmetric pattern.
+
+    Role: the reference's METIS ordering (ICNTL(7)=5) produces balanced
+    separator trees; AMD's irregular trees serialize the device engine's
+    wave schedule on 2D stencil-class grids. This is classic George-Liu
+    dissection with BFS level-structure separators: split each component
+    at the median BFS level from a pseudo-peripheral vertex, take the
+    boundary vertices of the smaller half as the separator, recurse, and
+    AMD the leaves. O(nnz log n) host time, vectorized per level with
+    scipy BFS. Separators are ordered LAST (new-to-old: leaves first), so
+    the elimination tree is a balanced binary tree — exactly the shape
+    the wave schedule wants."""
+    import scipy.sparse as sp
+    from scipy.sparse import csgraph
+
+    ip, ix = symmetrize_pattern(indptr, indices, n)
+    A = sp.csr_matrix((np.ones(len(ix), np.int8), ix, ip), shape=(n, n))
+    out = np.empty(n, dtype=np.int64)
+    pos_hi = n  # separators fill from the back
+
+    # iterative recursion over (vertex set) pieces
+    stack = [np.arange(n, dtype=np.int64)]
+    leaves = []
+    while stack:
+        vs = stack.pop()
+        if len(vs) <= leaf:
+            leaves.append(vs)
+            continue
+        Asub = A[vs][:, vs]
+        nsub = len(vs)
+        # pseudo-peripheral start: BFS from any vertex, restart from the
+        # farthest vertex once
+        lvl0 = csgraph.breadth_first_order(Asub, 0, directed=False,
+                                           return_predecessors=False)
+        start = int(lvl0[-1])
+        order_, pred = csgraph.breadth_first_order(
+            Asub, start, directed=False, return_predecessors=True)
+        if len(order_) < nsub:
+            # disconnected: split by component, no separator needed
+            ncomp, labels = csgraph.connected_components(Asub,
+                                                         directed=False)
+            for c in range(ncomp):
+                stack.append(vs[labels == c])
+            continue
+        # BFS depth per vertex
+        depth = np.zeros(nsub, np.int64)
+        for v in order_[1:]:
+            depth[v] = depth[pred[v]] + 1
+        # split at the median level
+        med = int(np.median(depth))
+        half = depth <= med
+        # separator: vertices of the near half adjacent to the far half
+        far = ~half
+        far_idx = np.flatnonzero(far)
+        touch = Asub[far_idx].indices  # neighbors of far vertices (local ids)
+        sep_mask = np.zeros(nsub, bool)
+        sep_mask[touch] = True
+        sep_mask &= half
+        a_mask = half & ~sep_mask
+        sep = vs[sep_mask]
+        if not len(sep) or not a_mask.any() or not far.any():
+            leaves.append(vs)   # degenerate split: treat as leaf
+            continue
+        pos_hi -= len(sep)
+        out[pos_hi: pos_hi + len(sep)] = sep
+        stack.append(vs[a_mask])
+        stack.append(vs[far_idx])
+
+    # AMD each leaf for local fill reduction
+    pos = 0
+    for vs in leaves:
+        if len(vs) > 2:
+            Asub = sp.csr_matrix(A[vs][:, vs])
+            sub_perm = amd_order(Asub.indptr.astype(np.int64),
+                                 Asub.indices.astype(np.int64), len(vs))
+            vs = vs[sub_perm]
+        out[pos: pos + len(vs)] = vs
+        pos += len(vs)
+    assert pos == pos_hi, (pos, pos_hi)
+    return out

@@ -236,6 +236,34 @@ def analyze(A_csr: sp.csr_matrix, perm: np.ndarray, relax: int = 16,
     return _finish(n, perm2, parent, snode_ptr, snode_rows)
 
 
+def analyze_best(A_csr: sp.csr_matrix, relax: int = 16,
+                 zeros_frac: float = 0.3, small: int = 16) -> SymbolicFactor:
+    """Symbolic analysis under the better of AMD and nested dissection.
+
+    The reference delegates this choice to METIS (mumps ICNTL(7)=5). AMD
+    is the general-purpose default; for stencil-class patterns (low
+    flops/lnz — the scatter-bound regime) George-Liu dissection produces
+    a balanced separator tree with ~half the flops on 2D grids (measured
+    512^2: 11.2 vs 21.6 Gflop, lnz 17.5M vs 20.3M). Picks by
+    flops + 1000·lnz (lnz ~ memory traffic, the scatter-regime cost)."""
+    from .ordering import amd_order, nd_order
+
+    ip = A_csr.indptr.astype(np.int64)
+    ix = A_csr.indices.astype(np.int64)
+    n = A_csr.shape[0]
+    sym = analyze(A_csr, amd_order(ip, ix, n), relax, zeros_frac, small)
+    if n >= 4096 and sym.lnz and sym.flops / max(sym.lnz, 1) < 3000:
+        try:
+            sym_nd = analyze(A_csr, nd_order(ip, ix, n), relax,
+                             zeros_frac, small)
+        except Exception:
+            return sym
+        if (sym_nd.flops + 1000.0 * sym_nd.lnz
+                < sym.flops + 1000.0 * sym.lnz):
+            return sym_nd
+    return sym
+
+
 def analyze_python(A_csr: sp.csr_matrix, perm: np.ndarray, relax: int = 16,
                    zeros_frac: float = 0.3, small: int = 16) -> SymbolicFactor:
     if A_csr.shape[0] == 0:  # native path guards this; mirror it here
