@@ -154,13 +154,23 @@ def main():
                         (rows, cols)), shape=(n1, n1))
     Ar.sum_duplicates()
     Ard = hl.DistSparseMatrix.from_scipy(Ar, be, dtype=np.float32)
-    _ = Ard @ xs
+    t0 = time.perf_counter()
+    _ = Ard @ xs  # builds the full engine-tier plan (incl. shuffle route)
+    extras["spmv_random_plan_s"] = round(time.perf_counter() - t0, 1)
     rplan = get_spmv_plan(Ard, xs)
+    from hpclinalg.ops.pallas_shuffle import shuffle_available, shuffle_spmv
     from hpclinalg.ops.spmv import _ell_apply
 
     assert rplan.ell, "random 1M pattern should ride the ELL tier"
-    tr = _chain_ms(lambda v: _ell_apply(Ard, rplan, v, spmm=False) * 0.125,
-                   xs.data, K=8)
+    if shuffle_available(be, Ard.structure):
+        # the deployed tier: Pallas static-shuffle gather engine
+        extras["spmv_random_engine"] = "shuffle"
+        step = lambda v: shuffle_spmv(Ard, rplan, v) * 0.125  # noqa: E731
+    else:
+        extras["spmv_random_engine"] = "ell"
+        step = lambda v: _ell_apply(  # noqa: E731
+            Ard, rplan, v, spmm=False) * 0.125
+    tr = _chain_ms(step, xs.data, K=8)
     extras["spmv_random_1m_ms"] = round(tr, 3)
     extras["spmv_random_melems_s"] = round(Ar.nnz / (tr / 1e3) / 1e6, 1)
     rgbs = (Ar.nnz * 8 + 2 * n1 * 4) / (tr / 1e3) / 1e9  # nzval+cols + x + y

@@ -34,10 +34,18 @@ def enable_compile_cache(path: str | None = None,
     and sessions — skip compilation entirely, the compiled analogue of the
     reference's memoized backslash cache surviving the Julia session
     (HPCLinearAlgebra.jl:643-690 caches within one process; XLA's disk cache
-    extends that across processes). The directory is scoped per backend
-    platform AND host machine features — a dir shared across hosts would
-    serve CPU AOT blobs compiled with another machine's vector extensions
-    (XLA loads them with a SIGILL-risk warning)."""
+    extends that across processes).
+
+    CPU backends are a NO-OP: XLA:CPU persists AOT machine code and its
+    loader flags tuning pseudo-features (+prefer-no-scatter/-gather) that
+    never appear in host feature detection, so every load — even on the
+    compiling machine — emits a SIGILL-risk warning. CPU compiles are
+    seconds, not the minutes-scale remote-TPU compiles the cache exists
+    for; skipping the cache there costs little and keeps the risk (and
+    the log tail) at zero. Non-CPU dirs are still scoped per platform +
+    machine fingerprint so a shared /tmp across hosts stays safe."""
+    if jax.default_backend() == "cpu" and path is None:
+        return
     if path is None:
         path = (f"/tmp/hpclinalg_xla_cache_{jax.default_backend()}"
                 f"_{_machine_fingerprint()}")
