@@ -1,0 +1,427 @@
+// Native route builder for the Pallas static-shuffle gather engine.
+//
+// Role: the plan-construction phase of the general-sparsity SpMV tier
+// (the reference's MatrixPlan/VectorPlan handshake construction,
+// /root/reference/src/sparse.jl:579-850 — here a purely local
+// computation). The numpy implementation (hpclinalg/ops/shuffle_router.py
+// build_route) is the readable oracle; this is the same algorithm as
+// fused linear passes over radix-sorted streams: ~100 s of numpy churn at
+// 8M emissions becomes a few seconds.
+//
+// Output format: the UNIFORM-geometry tables PackedRoute consumes
+// (regions strided by pow2 RAu, staging by 8-aligned RBu), so the Python
+// side only packs CG tables and uploads.
+//
+// Two-call ABI (handle-based):
+//   route_build(ndest, nsrc, src_of, geom_out[16]) -> handle
+//   route_export(handle, ...table pointers...)
+//   route_free(handle)
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+namespace {
+
+constexpr int64_t LANES = 128;
+constexpr int64_t SC = 512;
+constexpr int64_t DCH = 128 * 128;
+constexpr int64_t KA = 6;
+constexpr int64_t KB1 = 5;
+constexpr int64_t KB2 = 5;
+constexpr int64_t SUB = 512;
+
+using i64 = int64_t;
+using i32 = int32_t;
+using i16 = int16_t;
+using u8 = uint8_t;
+using i8 = int8_t;
+
+// LSD radix argsort (stable) of idx by keys[idx], byte-wise.
+void radix_argsort(const std::vector<i64>& keys, std::vector<i64>& idx,
+                   i64 maxkey) {
+    const size_t n = idx.size();
+    if (n == 0) return;
+    int nbytes = 1;
+    while (nbytes < 8 && (maxkey >> (8 * nbytes)) > 0) nbytes++;
+    std::vector<i64> tmp(n);
+    std::vector<i64> cnt(256);
+    for (int b = 0; b < nbytes; b++) {
+        std::fill(cnt.begin(), cnt.end(), 0);
+        const int sh = 8 * b;
+        for (size_t i = 0; i < n; i++) cnt[(keys[idx[i]] >> sh) & 0xff]++;
+        i64 run = 0;
+        for (int v = 0; v < 256; v++) { i64 c = cnt[v]; cnt[v] = run; run += c; }
+        for (size_t i = 0; i < n; i++)
+            tmp[cnt[(keys[idx[i]] >> sh) & 0xff]++] = idx[i];
+        idx.swap(tmp);
+    }
+}
+
+struct Route {
+    i64 ne, T1, n_sc, C2, gamma, cpg, RAu, nsub, RBu, nrows_bin;
+    // pass A tables
+    std::vector<i32> win;        // (n_sc)
+    std::vector<i8> win_rel;     // (T1)
+    std::vector<i8> M;           // (T1, 128)
+    std::vector<i8> SA;          // (n_sc, KA, SC, 128)
+    std::vector<i16> A_brow;     // (n_sc, gamma*RAu, 128)
+    std::vector<u8> A_bank;      // (n_sc, gamma*RAu, 128)
+    // pass B tables (uniform RBu stride)
+    std::vector<i8> S1;          // (gamma, KB1, nsub*SUB, 128)
+    std::vector<i16> B1_brow;    // (gamma, nsub, cpg*RBu, 128)
+    std::vector<u8> B1_bank;     // (gamma, nsub, cpg*RBu, 128)
+    std::vector<i8> S2;          // (gamma, cpg, KB2, nsub*RBu, 128)
+    std::vector<i16> B2_brow;    // (gamma, cpg, 128, 128)
+    std::vector<u8> B2_bank;     // (gamma, cpg, 128, 128)
+    std::vector<i64> spill_dst, spill_src;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom) {
+    auto* R = new Route();
+    const i64 C2 = std::max<i64>(1, (ndest + DCH - 1) / DCH);
+    const i64 cpg = std::min<i64>(C2, 64);
+    const i64 gamma = (C2 + cpg - 1) / cpg;
+    R->C2 = C2; R->cpg = cpg; R->gamma = gamma;
+
+    // ---- live emissions, stable-sorted by source ------------------------
+    std::vector<i64> idx;
+    idx.reserve(ndest);
+    for (i64 d = 0; d < ndest; d++)
+        if (src_of[d] >= 0) idx.push_back(d);
+    const i64 ne = (i64)idx.size();
+    R->ne = ne;
+    {
+        std::vector<i64> key(ndest);
+        for (i64 d = 0; d < ndest; d++) key[d] = src_of[d];
+        radix_argsort(key, idx, nsrc > 0 ? nsrc : 1);
+    }
+    std::vector<i64> e_src(ne), e_dst(ne);
+    for (i64 i = 0; i < ne; i++) { e_dst[i] = idx[i]; e_src[i] = src_of[idx[i]]; }
+
+    // ---- ce rows: break at window boundaries and every 128 elements ----
+    std::vector<i64> e_row(ne), e_lane(ne);
+    i64 T1 = 0;
+    {
+        i64 row = -1, inrow = 0, prev_win = -1;
+        for (i64 i = 0; i < ne; i++) {
+            const i64 w = e_src[i] / LANES;
+            if (w != prev_win || inrow == LANES) { row++; inrow = 0; prev_win = w; }
+            e_row[i] = row; e_lane[i] = inrow++;
+        }
+        T1 = ne ? row + 1 : 1;
+    }
+    const i64 n_sc = (T1 + SC - 1) / SC;
+    T1 = n_sc * SC;
+    R->T1 = T1; R->n_sc = n_sc;
+
+    // ---- per-sc slab base + window spill --------------------------------
+    std::vector<i64> row_win(T1, 0);
+    std::vector<u8> has_win(T1, 0);
+    for (i64 i = 0; i < ne; i++) {
+        row_win[e_row[i]] = e_src[i] / LANES;
+        has_win[e_row[i]] = 1;
+    }
+    R->win.assign(n_sc, 0);
+    R->win_rel.assign(T1, 0);
+    std::vector<u8> spilled(ne, 0);
+    std::vector<u8> bad_row(T1, 0);
+    for (i64 s = 0; s < n_sc; s++) {
+        i64 base = -1;
+        for (i64 r = s * SC; r < (s + 1) * SC; r++)
+            if (has_win[r] && (base < 0 || row_win[r] < base)) base = row_win[r];
+        if (base < 0) base = 0;
+        R->win[s] = (i32)base;
+        for (i64 r = s * SC; r < (s + 1) * SC; r++) {
+            i64 rel = has_win[r] ? row_win[r] - base : 0;
+            if (rel >= LANES) { bad_row[r] = 1; rel = 0; }
+            R->win_rel[r] = (i8)rel;
+        }
+    }
+    for (i64 i = 0; i < ne; i++)
+        if (bad_row[e_row[i]]) spilled[i] = 1;
+
+    R->M.assign(T1 * LANES, 0);
+    for (i64 i = 0; i < ne; i++)
+        R->M[e_row[i] * LANES + e_lane[i]] = (i8)(e_src[i] % LANES);
+
+    // ---- pass A: bin by (sc, gamma), rank in stream order ----------------
+    std::vector<i64> d_gamma(ne), d_chunk(ne), e_sc(ne);
+    for (i64 i = 0; i < ne; i++) {
+        d_chunk[i] = e_dst[i] / DCH;
+        d_gamma[i] = d_chunk[i] % gamma;
+        e_sc[i] = e_row[i] / SC;
+    }
+    // counts and per-gamma max rows
+    std::vector<i64> cntA(n_sc * gamma, 0);
+    for (i64 i = 0; i < ne; i++)
+        if (!spilled[i]) cntA[e_sc[i] * gamma + d_gamma[i]]++;
+    std::vector<i64> RA(gamma, 1);
+    for (i64 s = 0; s < n_sc; s++)
+        for (i64 g = 0; g < gamma; g++) {
+            i64 r = (cntA[s * gamma + g] + LANES - 1) / LANES;
+            if (r > RA[g]) RA[g] = r;
+        }
+    i64 RAmax = 1;
+    for (i64 g = 0; g < gamma; g++) RAmax = std::max(RAmax, RA[g]);
+    i64 RAu = 8;
+    while (RAu < RAmax) RAu *= 2;
+    RAu = std::min(RAu, SUB);
+    R->RAu = RAu;
+    const i64 nsub = std::max<i64>(1, (n_sc * RAu + SUB - 1) / SUB);
+    R->nsub = nsub;
+    std::vector<i64> RAoff(gamma + 1, 0);
+    for (i64 g = 0; g < gamma; g++) RAoff[g + 1] = RAoff[g] + RA[g];
+
+    // rankA within (sc, gamma) in stream order (the stream is already
+    // sorted by (e_sc, e_row, e_lane), matching numpy's lexsort)
+    std::vector<i64> rankA(ne);
+    {
+        std::vector<i64> ctr(gamma, 0);
+        i64 cur_sc = -1;
+        for (i64 i = 0; i < ne; i++) {
+            if (e_sc[i] != cur_sc) { std::fill(ctr.begin(), ctr.end(), 0); cur_sc = e_sc[i]; }
+            rankA[i] = ctr[d_gamma[i]]++;
+        }
+    }
+    std::vector<i64> a_row(ne), a_lane(ne);
+    for (i64 i = 0; i < ne; i++) {
+        a_row[i] = RAoff[d_gamma[i]] + rankA[i] / LANES;
+        a_lane[i] = rankA[i] % LANES;
+        if (!spilled[i] && rankA[i] / LANES >= RA[d_gamma[i]]) spilled[i] = 1;
+    }
+    // bankA: rank of distinct src lane within (e_row*128 + a_lane)
+    std::vector<i64> bankA(ne);
+    {
+        std::vector<i64> key(ne), ord(ne);
+        for (i64 i = 0; i < ne; i++) {
+            key[i] = (e_row[i] * LANES + a_lane[i]) * LANES + e_lane[i];
+            ord[i] = i;
+        }
+        radix_argsort(key, ord, T1 * LANES * LANES);
+        i64 prev_grp = -1, prev_key = -1, bank = 0;
+        for (i64 j = 0; j < ne; j++) {
+            const i64 i = ord[j];
+            const i64 grp = key[i] / LANES;
+            if (grp != prev_grp) { bank = 0; prev_grp = grp; prev_key = key[i]; }
+            else if (key[i] != prev_key) { bank++; prev_key = key[i]; }
+            bankA[i] = bank;
+        }
+    }
+    for (i64 i = 0; i < ne; i++)
+        if (!spilled[i] && bankA[i] >= KA) spilled[i] = 1;
+
+    R->SA.assign(n_sc * KA * SC * LANES, 0);
+    R->A_brow.assign(n_sc * gamma * RAu * LANES, 0);
+    R->A_bank.assign(n_sc * gamma * RAu * LANES, 255);
+    for (i64 i = 0; i < ne; i++) {
+        if (spilled[i]) continue;
+        const i64 s = e_sc[i];
+        // SA layout (n_sc, KA, SC, 128)
+        R->SA[((s * KA + bankA[i]) * SC + e_row[i] % SC) * LANES + a_lane[i]] =
+            (i8)e_lane[i];
+        // uniform region row: g*RAu + (a_row - RAoff[g])
+        const i64 ur = d_gamma[i] * RAu + (a_row[i] - RAoff[d_gamma[i]]);
+        R->A_brow[(s * gamma * RAu + ur) * LANES + a_lane[i]] =
+            (i16)(e_row[i] % SC);
+        R->A_bank[(s * gamma * RAu + ur) * LANES + a_lane[i]] = (u8)bankA[i];
+    }
+
+    // ---- pass B ----------------------------------------------------------
+    // per element: bin_row (uniform stride), sub, delta
+    std::vector<i64> bin_row(ne), subv(ne), delta(ne);
+    for (i64 i = 0; i < ne; i++) {
+        bin_row[i] = e_sc[i] * RAu + d_gamma[i] * 0 /*per-gamma view*/ +
+                     (a_row[i] - RAoff[d_gamma[i]]);
+        subv[i] = bin_row[i] / SUB;
+        delta[i] = d_chunk[i] / gamma;
+    }
+    std::vector<i64> d_lane(ne), d_row(ne);
+    for (i64 i = 0; i < ne; i++) {
+        d_lane[i] = e_dst[i] % LANES;
+        d_row[i] = (e_dst[i] % DCH) / LANES;
+    }
+
+    // RB computed per gamma then unified: first pass over gammas for counts
+    // rr (round-robin rank over final lanes within (gamma, sub, delta))
+    // computed with a hash-free two-pass: sort by full key.
+    // Work gamma-by-gamma using index lists to bound memory.
+    std::vector<std::vector<i64>> by_gamma(gamma);
+    for (i64 i = 0; i < ne; i++)
+        if (!spilled[i]) by_gamma[d_gamma[i]].push_back(i);
+
+    i64 RBu = 1;
+    // first, compute global RBu: per gamma, counts per (sub, delta)
+    {
+        std::vector<i64> cntB(nsub * cpg);
+        for (i64 g = 0; g < gamma; g++) {
+            std::fill(cntB.begin(), cntB.end(), 0);
+            for (i64 i : by_gamma[g]) cntB[subv[i] * cpg + delta[i]]++;
+            for (i64 d = 0; d < cpg; d++) {
+                i64 mx = 0;
+                for (i64 sb = 0; sb < nsub; sb++)
+                    mx = std::max(mx, cntB[sb * cpg + d]);
+                RBu = std::max(RBu, (mx + LANES - 1) / LANES);
+            }
+        }
+        RBu = ((RBu + 7) / 8) * 8;  // 8-row DMA granularity
+    }
+    R->RBu = RBu;
+
+    R->S1.assign(gamma * KB1 * nsub * SUB * LANES, 0);
+    R->B1_brow.assign(gamma * nsub * cpg * RBu * LANES, 0);
+    R->B1_bank.assign(gamma * nsub * cpg * RBu * LANES, 255);
+    R->S2.assign(gamma * cpg * KB2 * nsub * RBu * LANES, 0);
+    R->B2_brow.assign(gamma * cpg * LANES * LANES, 0);
+    R->B2_bank.assign(gamma * cpg * LANES * LANES, 255);
+
+    std::vector<i64> key, ord, rr, rankB, b_row, b_lane, bank1, stg_row, bank2;
+    for (i64 g = 0; g < gamma; g++) {
+        auto& el = by_gamma[g];
+        const i64 m = (i64)el.size();
+        if (!m) continue;
+        key.resize(m); ord.resize(m); rr.resize(m);
+        // rr: rank within (sub, delta, d_lane) in stream order
+        {
+            for (i64 j = 0; j < m; j++) {
+                const i64 i = el[j];
+                key[j] = (subv[i] * cpg + delta[i]) * LANES + d_lane[i];
+                ord[j] = j;
+            }
+            radix_argsort(key, ord, nsub * cpg * LANES);
+            i64 prev = -1, c = 0;
+            for (i64 jj = 0; jj < m; jj++) {
+                const i64 j = ord[jj];
+                if (key[j] != prev) { c = 0; prev = key[j]; }
+                rr[j] = c++;
+            }
+        }
+        // orderB: stable sort by (sub, delta, seq_key = rr*128 + d_lane);
+        // rankB = position within (sub, delta)
+        rankB.resize(m); b_row.resize(m); b_lane.resize(m);
+        {
+            for (i64 j = 0; j < m; j++) {
+                const i64 i = el[j];
+                key[j] = ((subv[i] * cpg + delta[i]) * (m + 1) +
+                          rr[j]) * LANES + d_lane[i];
+                ord[j] = j;
+            }
+            radix_argsort(key, ord, (nsub * cpg) * (m + 1) * LANES);
+            i64 prev_grp = -1, c = 0;
+            for (i64 jj = 0; jj < m; jj++) {
+                const i64 j = ord[jj];
+                const i64 i = el[j];
+                const i64 grp = subv[i] * cpg + delta[i];
+                if (grp != prev_grp) { c = 0; prev_grp = grp; }
+                rankB[j] = c++;
+            }
+        }
+        // rank overflow vs uniform RBu
+        for (i64 j = 0; j < m; j++) {
+            if (rankB[j] / LANES >= RBu) spilled[el[j]] = 1;
+            b_row[j] = rankB[j] / LANES;     // within-delta row (uniform)
+            b_lane[j] = rankB[j] % LANES;
+        }
+        // bank1: distinct bin_lane (=a_lane) per (bin_row*128 + b_lane)
+        bank1.resize(m);
+        {
+            for (i64 j = 0; j < m; j++) {
+                const i64 i = el[j];
+                key[j] = (bin_row[i] * LANES + b_lane[j]) * LANES + a_lane[i];
+                ord[j] = j;
+            }
+            radix_argsort(key, ord, (n_sc * RAu) * LANES * LANES);
+            i64 prev_grp = -1, prev_key = -1, bank = 0;
+            for (i64 jj = 0; jj < m; jj++) {
+                const i64 j = ord[jj];
+                const i64 grp = key[j] / LANES;
+                if (grp != prev_grp) { bank = 0; prev_grp = grp; prev_key = key[j]; }
+                else if (key[j] != prev_key) { bank++; prev_key = key[j]; }
+                bank1[j] = bank;
+                if (bank >= KB1) spilled[el[j]] = 1;
+            }
+        }
+        // fill S1 / B1 tables
+        for (i64 j = 0; j < m; j++) {
+            const i64 i = el[j];
+            if (spilled[i]) continue;
+            // S1 (g, KB1, nsub*SUB, 128)
+            R->S1[((g * KB1 + bank1[j]) * nsub * SUB + bin_row[i]) * LANES +
+                  b_lane[j]] = (i8)a_lane[i];
+            // B1_brow (g, nsub, cpg*RBu, 128): uniform row delta*RBu + b_row
+            const i64 urow = delta[i] * RBu + b_row[j];
+            R->B1_brow[((g * nsub + subv[i]) * cpg * RBu + urow) * LANES +
+                       b_lane[j]] = (i16)(bin_row[i] % SUB);
+            R->B1_bank[((g * nsub + subv[i]) * cpg * RBu + urow) * LANES +
+                       b_lane[j]] = (u8)bank1[j];
+        }
+        // bank2: distinct stg_lane (=b_lane) per (stg_row*128 + fl)
+        stg_row.resize(m); bank2.resize(m);
+        {
+            for (i64 j = 0; j < m; j++) {
+                const i64 i = el[j];
+                stg_row[j] = subv[i] * RBu + b_row[j];
+                // group key includes delta: each (delta) is its own B2 block
+                key[j] = ((delta[i] * (nsub * RBu) + stg_row[j]) * LANES +
+                          d_lane[i]) * LANES + b_lane[j];
+                ord[j] = j;
+            }
+            radix_argsort(key, ord,
+                          cpg * (nsub * RBu) * LANES * LANES);
+            i64 prev_grp = -1, prev_key = -1, bank = 0;
+            for (i64 jj = 0; jj < m; jj++) {
+                const i64 j = ord[jj];
+                const i64 grp = key[j] / LANES;
+                if (grp != prev_grp) { bank = 0; prev_grp = grp; prev_key = key[j]; }
+                else if (key[j] != prev_key) { bank++; prev_key = key[j]; }
+                bank2[j] = bank;
+                if (bank >= KB2) spilled[el[j]] = 1;
+            }
+        }
+        for (i64 j = 0; j < m; j++) {
+            const i64 i = el[j];
+            if (spilled[i]) continue;
+            const i64 d = delta[i];
+            // S2 (g, cpg, KB2, nsub*RBu, 128)
+            R->S2[(((g * cpg + d) * KB2 + bank2[j]) * (nsub * RBu) +
+                   stg_row[j]) * LANES + d_lane[i]] = (i8)b_lane[j];
+            // B2_brow (g, cpg, 128, 128)
+            R->B2_brow[((g * cpg + d) * LANES + d_row[i]) * LANES +
+                       d_lane[i]] = (i16)stg_row[j];
+            R->B2_bank[((g * cpg + d) * LANES + d_row[i]) * LANES +
+                       d_lane[i]] = (u8)bank2[j];
+        }
+    }
+
+    for (i64 i = 0; i < ne; i++)
+        if (spilled[i]) { R->spill_dst.push_back(e_dst[i]);
+                          R->spill_src.push_back(e_src[i]); }
+
+    geom[0] = R->ne; geom[1] = R->T1; geom[2] = R->n_sc; geom[3] = R->C2;
+    geom[4] = R->gamma; geom[5] = R->cpg; geom[6] = R->RAu; geom[7] = R->nsub;
+    geom[8] = R->RBu; geom[9] = (i64)R->spill_dst.size();
+    return R;
+}
+
+void route_export(void* h, i32* win, i8* win_rel, i8* M, i8* SA,
+                  i16* A_brow, u8* A_bank, i8* S1, i16* B1_brow, u8* B1_bank,
+                  i8* S2, i16* B2_brow, u8* B2_bank,
+                  i64* spill_dst, i64* spill_src) {
+    auto* R = (Route*)h;
+    auto cp = [](auto& v, auto* p) { std::memcpy(p, v.data(),
+                                                 v.size() * sizeof(v[0])); };
+    cp(R->win, win); cp(R->win_rel, win_rel); cp(R->M, M); cp(R->SA, SA);
+    cp(R->A_brow, A_brow); cp(R->A_bank, A_bank);
+    cp(R->S1, S1); cp(R->B1_brow, B1_brow); cp(R->B1_bank, B1_bank);
+    cp(R->S2, S2); cp(R->B2_brow, B2_brow); cp(R->B2_bank, B2_bank);
+    cp(R->spill_dst, spill_dst); cp(R->spill_src, spill_src);
+}
+
+void route_free(void* h) { delete (Route*)h; }
+
+}  // extern "C"

@@ -102,3 +102,34 @@ def test_pallas_kernels_interpret_multichunk():
     xe = np.asarray(shuffle_apply(packed, jnp.asarray(x), interpret=True))
     liv = src >= 0
     assert np.array_equal(xe[: len(src)][liv], x[src[liv]])
+
+
+def test_native_router_matches_oracle():
+    """The C++ route builder (native/route.cpp) against the numpy oracle:
+    identical gather results through the interpret-mode kernels, for
+    random, duplication-heavy and dead-slot streams."""
+    import jax.numpy as jnp
+
+    from hpclinalg.ops.pallas_shuffle import PackedRoute, shuffle_apply
+
+    rng = np.random.default_rng(21)
+    cases = [
+        rng.integers(0, 4000, 30000),
+        rng.integers(0, 80, 50000),          # duplication-heavy
+        rng.integers(0, 1 << 14, 6 << 14),   # multi-superchunk
+    ]
+    cases[0][rng.random(30000) < 0.05] = -1
+    for src in cases:
+        src = src.astype(np.int64)
+        n = int(src.max()) + 1
+        pn = PackedRoute.from_native(src, n)
+        if pn is None:
+            pytest.skip("native route builder unavailable")
+        x = rng.standard_normal(n).astype(np.float32)
+        xe = np.asarray(shuffle_apply(pn, jnp.asarray(x), interpret=True))
+        liv = src >= 0
+        assert np.array_equal(xe[: len(src)][liv], x[src[liv]])
+        # numpy path agrees end-to-end
+        pp = PackedRoute(build_route(src, n))
+        xe2 = np.asarray(shuffle_apply(pp, jnp.asarray(x), interpret=True))
+        assert np.array_equal(xe2[: len(src)][liv], x[src[liv]])
