@@ -83,11 +83,14 @@ class PackedRoute:
     """Device-resident, geometry-uniform kernel tables for one RoutePlan."""
 
     @classmethod
-    def from_native(cls, src_of: np.ndarray, nsrc: int) -> "PackedRoute":
+    def from_native(cls, src_of: np.ndarray, nsrc: int, force_RAu: int = 0,
+                    force_RBu: int = 0, pad_n_sc: int = 0,
+                    pad_nsub: int = 0) -> "PackedRoute":
         """Build the packed tables through the C++ router (native/route.cpp
         — the same algorithm as shuffle_router.build_route as fused passes
         over radix-sorted streams; ~10x the numpy build). Returns None if
-        the native library is unavailable."""
+        the native library is unavailable. force_*/pad_* impose a common
+        geometry across shards so per-shard tables stack for shard_map."""
         from ..solver.native import build_native_lib
         import ctypes
 
@@ -98,13 +101,15 @@ class PackedRoute:
         if not getattr(lib, "_route_sigs", False):
             lib.route_build.restype = ctypes.c_void_p
             lib.route_build.argtypes = [ctypes.c_int64, ctypes.c_int64,
-                                        i64p, i64p]
+                                        i64p, i64p, ctypes.c_int64,
+                                        ctypes.c_int64]
             lib.route_export.restype = None
             lib.route_free.argtypes = [ctypes.c_void_p]
             lib._route_sigs = True
         src_of = np.ascontiguousarray(src_of, np.int64)
         geom = np.zeros(16, np.int64)
-        h = lib.route_build(len(src_of), int(nsrc), src_of, geom)
+        h = lib.route_build(len(src_of), int(nsrc), src_of, geom,
+                            int(force_RAu), int(force_RBu))
         try:
             (ne, T1, n_sc, C2, gamma, cpg, RAu, nsub, RBu,
              nspill) = (int(v) for v in geom[:10])
@@ -131,8 +136,22 @@ class PackedRoute:
 
         self = cls.__new__(cls)
         self.plan = _PlanStub(int(nsrc), C2 * DCH, spill_dst, spill_src)
-        # pad the sc dim so nsub*SUB == n_sc_pad*RAu (B1's block select)
-        n_sc_pad = nsub * SUB // RAu
+        # common-geometry padding: sc dim so nsub*SUB == n_sc_pad*RAu
+        # (B1's block select), nsub to the stacking target
+        nsub_tgt = max(pad_nsub, nsub,
+                       _ceil(max(pad_n_sc, n_sc) * RAu, SUB))
+        n_sc_pad = nsub_tgt * SUB // RAu
+        if nsub_tgt > nsub:
+            S1 = np.pad(S1, ((0, 0), (0, 0),
+                             (0, (nsub_tgt - nsub) * SUB), (0, 0)))
+            B1_brow = np.pad(B1_brow, ((0, 0), (0, nsub_tgt - nsub),
+                                       (0, 0), (0, 0)))
+            B1_bank = np.pad(B1_bank, ((0, 0), (0, nsub_tgt - nsub),
+                                       (0, 0), (0, 0)),
+                             constant_values=255)
+            S2 = np.pad(S2, ((0, 0), (0, 0), (0, 0),
+                             (0, (nsub_tgt - nsub) * RBu), (0, 0)))
+            nsub = nsub_tgt
         self.n_sc, self.gamma, self.cpg = n_sc_pad, gamma, cpg
         self.RAu, self.nsub, self.RBu = RAu, nsub, RBu
         self.SCG = SUB // RAu
@@ -184,10 +203,12 @@ class PackedRoute:
             if nspill else None
         return self
 
-    def __init__(self, plan: RoutePlan):
+    def __init__(self, plan: RoutePlan, pad_n_sc: int = 0,
+                 pad_nsub: int = 0):
         self.plan = plan
         gamma, cpg = plan.gamma, plan.cpg
         RAu, nsub = plan.RAu, plan.nsub
+        nsub = max(nsub, pad_nsub, _ceil(pad_n_sc * RAu, SUB))
         n_sc = nsub * SUB // RAu            # padded so nsub*SUB = n_sc*RAu
         self.n_sc, self.gamma, self.cpg = n_sc, gamma, cpg
         self.RAu, self.nsub = RAu, nsub
@@ -230,6 +251,7 @@ class PackedRoute:
         # ---- kernel B1 ----------------------------------------------------
         RBu = max(int(max(rb.max() for rb in plan.RB)) if gamma else 1, 1)
         RBu = _ceil(RBu, 8) * 8             # 8-row DMA granularity
+        RBu = max(RBu, getattr(plan, "force_RBu", 0))
         self.RBu = RBu
         self.TP_B = _ceil(cpg * RBu, LANES)
         S1 = np.zeros((gamma, KB1, nsub * SUB, LANES), np.int8)
@@ -378,7 +400,7 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
                 pl.BlockSpec((1, TP_A, LANES, LANES),
                              lambda sc, w: (sc, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((1, TP_A * LANES, LANES),
                                    lambda sc, w: (sc, 0, 0),
@@ -553,15 +575,16 @@ def shuffle_apply(packed: PackedRoute, xg: jax.Array,
 # ---------------------------------------------------------------------------
 
 def shuffle_available(backend, st) -> bool:
-    """The shuffle engine tier: real-TPU platform, single shard (the
-    kernels run per shard; multi-shard stacking needs per-shard geometry —
-    future work), and enough work to amortize the routing passes."""
+    """The shuffle engine tier: real-TPU platform and enough work to
+    amortize the routing passes. Multi-shard meshes stack per-shard routes
+    built with a COMMON geometry (forced RAu/RBu, padded sc/nsub dims) and
+    run the same kernels as the per-shard body inside shard_map."""
     try:
         platform = backend.mesh.devices.flat[0].platform
     except Exception:
         return False
-    return (platform in ("tpu", "axon") and backend.nshards == 1
-            and st.nnz >= (1 << 20))
+    return (platform in ("tpu", "axon")
+            and st.nnz >= (1 << 20) * backend.nshards)
 
 
 def build_spmv_shuffle(A, plan, xlen):
@@ -583,20 +606,26 @@ def build_spmv_shuffle(A, plan, xlen):
 
     st = A.structure
 
-    def build():
+    def _shard_src(s, compose_ci):
+        """Sublane-grouped destination source vector of shard s.
+        compose_ci: single-shard reads the RAW x buffer (the compression
+        map is composed into the route); multi-shard reads the GATHERED
+        halo buffer, which is already in compressed-column order."""
         W = plan.ell_W
         Lrow = st.Lrow
-        cols = np.asarray(plan.ell_cols).reshape(1, Lrow, W)[0]
+        cols = np.asarray(plan.ell_cols).reshape(-1, Lrow, W)[s]
         # mark ELL padding slots dead: slots at/after each row's length
         lens = np.zeros(Lrow, np.int64)
-        ip = st.indptr[0]
+        ip = st.indptr[s]
         if len(ip) > 1:
             lens[: len(ip) - 1] = np.minimum(np.diff(ip), W)
         mask = np.arange(W)[None, :] < lens[:, None]
         src = np.where(mask, cols, -1).astype(np.int64)
-        ci = st.col_indices[0]
-        if len(ci):
-            src = np.where(src >= 0, ci[np.clip(src, 0, len(ci) - 1)], -1)
+        if compose_ci:
+            ci = st.col_indices[s]
+            if len(ci):
+                src = np.where(src >= 0, ci[np.clip(src, 0, len(ci) - 1)],
+                               -1)
         # per-row slot ROTATION by hash(r) (values rotated identically in
         # _ell_values_bi): CSR columns are sorted, so slot w correlates
         # with the column — without the rotation the routing groups of
@@ -614,15 +643,87 @@ def build_spmv_shuffle(A, plan, xlen):
         nb = _ceil(Lrow, LANES)
         srcp = np.full((nb * LANES, W), -1, np.int64)
         srcp[:Lrow] = src
-        src_bi = np.ascontiguousarray(
+        return np.ascontiguousarray(
             srcp.reshape(nb, LANES, W).transpose(0, 2, 1)).reshape(-1)
-        packed = PackedRoute.from_native(src_bi, xlen)
-        if packed is not None:
-            return packed
-        route = build_route(src_bi, xlen)  # numpy fallback (the oracle)
-        return PackedRoute(route)
+
+    def build():
+        S = A.backend.nshards
+        if S == 1:
+            src_bi = _shard_src(0, compose_ci=True)
+            packed = PackedRoute.from_native(src_bi, xlen)
+            if packed is not None:
+                return packed
+            route = build_route(src_bi, xlen)  # numpy fallback (oracle)
+            return PackedRoute(route)
+        # multi-shard: per-shard routes rebuilt under a COMMON geometry
+        # (max RAu/RBu/n_sc/nsub across shards) so the tables stack with a
+        # leading shard dim and the same kernels run inside shard_map
+        srcs = [_shard_src(s, compose_ci=False) for s in range(S)]
+        routes = [PackedRoute.from_native(srcs[s], xlen) for s in range(S)]
+        if any(r is None for r in routes):
+            routes = [PackedRoute(build_route(srcs[s], xlen))
+                      for s in range(S)]
+        RAu = max(r.RAu for r in routes)
+        RBu = max(r.RBu for r in routes)
+        n_sc = max(r.n_sc for r in routes)
+        nsub = max(_ceil(n_sc * RAu, SUB), *(r.nsub for r in routes))
+        rebuilt = []
+        for s in range(S):
+            r = PackedRoute.from_native(srcs[s], xlen, force_RAu=RAu,
+                                        force_RBu=RBu, pad_n_sc=n_sc,
+                                        pad_nsub=nsub)
+            if r is None:
+                rp = build_route(srcs[s], xlen, force_RAu=RAu,
+                                 force_RBu=RBu)
+                r = PackedRoute(rp, pad_n_sc=n_sc, pad_nsub=nsub)
+            rebuilt.append(r)
+        return _StackedRoutes(rebuilt)
 
     return cached_plan("spmv_shuffle", ("shuffle-bi", plan.key, xlen), build)
+
+
+class _StackedRoutes:
+    """Per-shard PackedRoutes under one common geometry, tables stacked
+    with a leading shard dim for shard_map dispatch."""
+
+    def __init__(self, routes):
+        r0 = routes[0]
+        for k in ("n_sc", "gamma", "cpg", "RAu", "nsub", "RBu", "TP_A",
+                  "TP_B", "PS", "PA", "PB", "SCG", "stage_rows"):
+            vals = {getattr(r, k) for r in routes}
+            assert len(vals) == 1, (k, vals)
+            setattr(self, k, vals.pop())
+        self.routes = routes
+        self.plan = r0.plan
+        self.A_live = sorted({c for r in routes for c in r.A_live})
+        self.B1_live = sorted({c for r in routes for c in r.B1_live})
+        self.B2_live = sorted({c for r in routes for c in r.B2_live})
+        for k in ("win", "win_rel", "M", "SA", "A_rel", "A_sel", "S1",
+                  "B1_rel", "B1_sel", "S2", "B2_rel", "B2_sel"):
+            setattr(self, k, jnp.stack([getattr(r, k) for r in routes]))
+        # spill: pad per-shard lists to the max count; padding rows point
+        # one past the shard length so mode='drop' discards them
+        nspill = max((0 if r.spill_dst is None else int(r.spill_dst.shape[0])
+                      for r in routes), default=0)
+        self.nspill = nspill
+        self.spill_dst = None
+        self.spill_src = None
+        if nspill:
+            ds, ss = [], []
+            for r in routes:
+                d = (np.asarray(r.spill_dst) if r.spill_dst is not None
+                     else np.zeros(0, np.int64))
+                s_ = (np.asarray(r.spill_src) if r.spill_src is not None
+                      else np.zeros(0, np.int64))
+                pad = nspill - len(d)
+                ds.append(np.pad(d, (0, pad),
+                                 constant_values=self.plan.ndest))
+                ss.append(np.pad(s_, (0, pad)))
+            self.spill_dst = jnp.asarray(np.stack(ds).astype(np.int64))
+            self.spill_src = jnp.asarray(np.stack(ss).astype(np.int32))
+
+    def table_bytes(self) -> int:
+        return sum(r.table_bytes() for r in self.routes)
 
 
 @lru_cache(maxsize=None)
@@ -679,15 +780,19 @@ def _spmv_pipeline(key_shapes, A_live, B1_live, B2_live, Lrow, W, Tpad,
 def shuffle_spmv(A, plan, xb, interpret: bool = False):
     """y = A @ x through the shuffle engine: xe = shuffle(x) in
     sublane-grouped ELL order, then a pure elementwise multiply + sublane
-    reduction (no gathers) plus the standard COO tail. xb: (1, Lin)
-    stacked block (identity or gathered). Returns (1, Lrow) f32."""
+    reduction (no gathers) plus the standard COO tail. xb: (S, Lin)
+    stacked block (identity or gathered). Returns (S, Lrow) f32. On
+    multi-shard meshes the same pipeline runs as the per-shard body
+    inside shard_map over stacked common-geometry tables."""
     from .spmv import _ell_values
 
     st = A.structure
+    S = A.backend.nshards
     xlen = int(xb.shape[1])          # raw x buffer — no compression gather
     packed = build_spmv_shuffle(A, plan, xlen)
     W, Lrow = plan.ell_W, st.Lrow
-    vrm = _ell_values_bi(A, plan)
+    stacked = isinstance(packed, _StackedRoutes)
+    vrm = _ell_values_bi(A, plan, stacked=stacked)
     nrow_x = _ceil(packed.plan.nsrc, LANES) + LANES
     key = (packed.n_sc, packed.gamma, packed.cpg, packed.RAu, packed.TP_A,
            packed.nsub, packed.RBu, packed.TP_B, packed.PS, nrow_x)
@@ -699,22 +804,59 @@ def shuffle_spmv(A, plan, xb, interpret: bool = False):
     tables = (packed.win, packed.win_rel, packed.M, packed.SA,
               packed.A_rel, packed.A_sel, packed.S1, packed.B1_rel,
               packed.B1_sel, packed.S2, packed.B2_rel, packed.B2_sel)
-    spill = _spill_epilogue_tables(A, plan, packed, vrm, W) \
-        if has_spill else ()
+    spill = _spill_epilogue_tables(A, plan, packed, vrm, W,
+                                   stacked=stacked) if has_spill else ()
     if plan.ell_Tpad:
         _, tvals = _ell_values(A, plan)
-        tail = (tvals[0], plan.ell_tail_rows[0],
-                _tail_gidx_raw(A, plan))
+        if stacked:
+            tail = (tvals, plan.ell_tail_rows,
+                    _tail_gidx_raw(A, plan, stacked=True))
+        else:
+            tail = (tvals[0], plan.ell_tail_rows[0],
+                    _tail_gidx_raw(A, plan))
     else:
         tail = ()
-    return fn(tables, xb, vrm, spill, tail)
+    if not stacked:
+        return fn(tables, xb, vrm, spill, tail)
+    return _sharded_pipeline(fn, A.backend.mesh)(tables, xb, vrm, spill,
+                                                 tail)
 
 
-def _spill_epilogue_tables(A, plan, packed, vbi, W):
+@lru_cache(maxsize=None)
+def _sharded_pipeline(fn, mesh):
+    """Wrap the per-shard pipeline body over the mesh: every argument
+    carries a leading shard dim; each device sees its (1, ...) block and
+    runs the identical kernels."""
+    from ..backend import AXIS
+    from jax.sharding import PartitionSpec as P
+
+    def body(tables, xb, vrm, spill, tail):
+        t1 = tuple(a[0] for a in tables)
+        sp = tuple(a[0] for a in spill) if spill else ()
+        tl = tuple(a[0] for a in tail) if tail else ()
+        return fn(t1, xb, vrm[0], sp, tl)
+
+    def spec(tree):
+        return jax.tree.map(lambda _: P(AXIS), tree)
+
+    def run(tables, xb, vrm, spill, tail):
+        sm = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(spec(tables), P(AXIS), P(AXIS), spec(spill),
+                      spec(tail)),
+            out_specs=P(AXIS), check_vma=False)
+        return sm(tables, xb, vrm, spill, tail)
+
+    return jax.jit(run)
+
+
+def _spill_epilogue_tables(A, plan, packed, vbi, W, stacked=False):
     """Static per-matrix spill tables for the y-side epilogue: the
     destination row (decoded from the sublane-grouped dest index) and the
     matrix value at the spilled slot (gathered once from vbi, cached).
-    Rows are pre-sorted so the scatter-add can use the sorted path."""
+    Rows are pre-sorted so the scatter-add can use the sorted path.
+    Stacked routes carry per-shard (S, nspill) tables; padding entries
+    decode to rows >= Lrow and are dropped by the scatter."""
     cache = A._engine_cache
     hit = cache.get(("spill_epi", plan.key))
     if hit is not None:
@@ -722,29 +864,47 @@ def _spill_epilogue_tables(A, plan, packed, vbi, W):
     dst = np.asarray(packed.spill_dst, np.int64)
     # dest = b·(128·W) + w·128 + l ; row = b·128 + l
     rows = (dst // (LANES * W)) * LANES + dst % LANES
-    o = np.argsort(rows, kind="stable")
-    spill_row = jnp.asarray(rows[o].astype(np.int32))
-    spill_val = jax.device_put(
-        jnp.take(vbi.reshape(-1), jnp.asarray(dst[o])))
-    spill_src = jnp.asarray(np.asarray(packed.spill_src)[o])
+    o = np.argsort(rows, axis=-1, kind="stable")
+    if stacked:
+        rows_s = np.take_along_axis(rows, o, axis=-1)
+        dst_s = np.take_along_axis(dst, o, axis=-1)
+        src_s = np.take_along_axis(np.asarray(packed.spill_src, np.int64),
+                                   o, axis=-1)
+        spill_row = jnp.asarray(rows_s.astype(np.int32))
+        nb_el = int(np.prod(vbi.shape[1:]))
+        spill_val = jax.device_put(jax.vmap(
+            lambda v, d: jnp.take(v.reshape(-1), d, mode="fill",
+                                  fill_value=0.0))(
+            vbi, jnp.asarray(np.minimum(dst_s, nb_el - 1))))
+        spill_src = jnp.asarray(src_s.astype(np.int32))
+    else:
+        spill_row = jnp.asarray(rows[o].astype(np.int32))
+        spill_val = jax.device_put(
+            jnp.take(vbi.reshape(-1), jnp.asarray(dst[o])))
+        spill_src = jnp.asarray(np.asarray(packed.spill_src)[o])
     out = (spill_src, spill_row, spill_val)
     cache[("spill_epi", plan.key)] = out
     return out
 
 
-def _tail_gidx_raw(A, plan):
-    """COO-tail gather indices composed with the compressed-column map, so
-    the tail reads the raw x buffer like the main engine."""
+def _tail_gidx_raw(A, plan, stacked=False):
+    """COO-tail gather indices. Single-shard: composed with the
+    compressed-column map so the tail reads the raw x buffer like the
+    main engine. Stacked (multi-shard): the gathered halo buffer is
+    already in compressed order — use the plan indices as-is."""
     cache = A._engine_cache
-    hit = cache.get(("tail_raw", plan.key))
+    hit = cache.get(("tail_raw", plan.key, stacked))
     if hit is not None:
         return hit
     st = A.structure
-    ci = st.col_indices[0]
-    tg = plan.ell_tail_gidx_np[0].astype(np.int64)
-    raw = ci[np.clip(tg, 0, max(len(ci) - 1, 0))] if len(ci) else tg
-    out = jnp.asarray(raw.astype(np.int32))
-    cache[("tail_raw", plan.key)] = out
+    if stacked:
+        out = jnp.asarray(plan.ell_tail_gidx_np.astype(np.int32))
+    else:
+        ci = st.col_indices[0]
+        tg = plan.ell_tail_gidx_np[0].astype(np.int64)
+        raw = ci[np.clip(tg, 0, max(len(ci) - 1, 0))] if len(ci) else tg
+        out = jnp.asarray(raw.astype(np.int32))
+    cache[("tail_raw", plan.key, stacked)] = out
     return out
 
 
@@ -757,28 +917,28 @@ def _slot_perm(Lrow: int, W: int) -> np.ndarray:
     return ((np.arange(W)[None, :] - rot[:, None]) % W).astype(np.int32)
 
 
-def _ell_values_bi(A, plan):
-    """Sublane-grouped (nb, W, 128) f32 ELL value table, cached per
-    matrix, with each row's slots permuted by _slot_perm — the same
-    per-row permutation build_spmv_shuffle applies to the route sources
-    (y[r] = Σ_w v·xe is invariant to a per-row slot permutation applied
-    to both)."""
+def _ell_values_bi(A, plan, stacked=False):
+    """Sublane-grouped (nb, W, 128) — or stacked (S, nb, W, 128) — f32
+    ELL value table, cached per matrix, with each row's slots permuted by
+    _slot_perm — the same per-row permutation build_spmv_shuffle applies
+    to the route sources (y[r] = Σ_w v·xe is invariant to a per-row slot
+    permutation applied to both)."""
     from .spmv import _ell_values
 
     cache = getattr(A, "_engine_cache", None)
     if cache is None:
         cache = A._engine_cache = {}
-    hit = cache.get(("ell_bi", plan.key))
+    hit = cache.get(("ell_bi", plan.key, stacked))
     if hit is not None:
         return hit
     vals, _ = _ell_values(A, plan)              # (S, Lrow, W)
-    v0 = vals[0].astype(jnp.float32)
-    Lrow, W = v0.shape
+    S, Lrow, W = vals.shape
     nb = _ceil(Lrow, LANES)
-    perm = jax.device_put(_slot_perm(Lrow, W))
-    vr = jnp.take_along_axis(v0, perm, axis=1)
-    vr = jnp.pad(vr, ((0, nb * LANES - Lrow), (0, 0)))
-    vbi = jax.device_put(
-        jnp.transpose(vr.reshape(nb, LANES, W), (0, 2, 1)))
-    cache[("ell_bi", plan.key)] = vbi
+    perm = jax.device_put(_slot_perm(Lrow, W)[None])
+    vr = jnp.take_along_axis(vals.astype(jnp.float32),
+                             jnp.broadcast_to(perm, (S, Lrow, W)), axis=2)
+    vr = jnp.pad(vr, ((0, 0), (0, nb * LANES - Lrow), (0, 0)))
+    vbi = jnp.transpose(vr.reshape(S, nb, LANES, W), (0, 1, 3, 2))
+    vbi = jax.device_put(vbi if stacked else vbi[0])
+    cache[("ell_bi", plan.key, stacked)] = vbi
     return vbi

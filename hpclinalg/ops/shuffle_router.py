@@ -122,10 +122,14 @@ class RoutePlan:
     spill_dst: np.ndarray = None
     spill_src: np.ndarray = None
     stats: dict = None
+    force_RBu: int = 0            # multi-shard common staging stride
 
 
-def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
-    """src_of: (NDEST,) int64 source slot per dest slot, -1 = dead."""
+def build_route(src_of: np.ndarray, nsrc: int, force_RAu: int = 0,
+                force_RBu: int = 0) -> RoutePlan:
+    """src_of: (NDEST,) int64 source slot per dest slot, -1 = dead.
+    force_RAu/force_RBu (>= the natural values) impose a common region /
+    staging geometry — used to stack per-shard routes for shard_map."""
     src_of = np.asarray(src_of, np.int64)
     ndest = len(src_of)
     C2 = max(1, -(-ndest // DCH))
@@ -242,6 +246,8 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
     while RAu < (int(RA.max()) if len(RA) else 1):
         RAu *= 2
     RAu = min(RAu, SUB)
+    if force_RAu >= RAu:
+        RAu = force_RAu
     nsub_all = max(1, -(-(n_sc * RAu) // SUB))
     for g in range(gamma):
         nrows_bin = n_sc * RAu
@@ -320,7 +326,7 @@ def build_route(src_of: np.ndarray, nsrc: int) -> RoutePlan:
     spill = ~okB
     return RoutePlan(
         nsrc=nsrc, ndest=C2 * DCH, T1=T1, n_superchunks=n_sc, C2=C2,
-        gamma=gamma, cpg=cpg, nsub=nsub_all, RAu=RAu,
+        gamma=gamma, cpg=cpg, nsub=nsub_all, RAu=RAu, force_RBu=force_RBu,
         win=win, win_rel=win_rel, M=M, SA=SA, RA=RA,
         A_brow=A_brow, A_bank=A_bank,
         B1_S=B1_S, B1_brow=B1_brow, B1_bank=B1_bank, RB=RBl,

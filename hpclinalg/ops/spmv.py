@@ -454,7 +454,12 @@ def matvec(A, x):
 
         if (shuffle_available(A.backend, st)
                 and jnp.result_type(A.dtype, x.dtype) == jnp.float32):
-            y = shuffle_spmv(A, plan, x.data)
+            # single shard routes the RAW x buffer (compression composed
+            # into the tables); multi-shard routes the gathered halo
+            # buffer, already in compressed-column order
+            xb = x.data if A.backend.nshards == 1 \
+                else plan.exchange.apply(x.data)
+            y = shuffle_spmv(A, plan, xb)
         else:
             y = _ell_apply(A, plan, x.data, spmm=False)
     else:

@@ -82,7 +82,8 @@ struct Route {
 
 extern "C" {
 
-void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom) {
+void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
+                  i64 force_RAu, i64 force_RBu) {
     auto* R = new Route();
     const i64 C2 = std::max<i64>(1, (ndest + DCH - 1) / DCH);
     const i64 cpg = std::min<i64>(C2, 64);
@@ -172,6 +173,7 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom) {
     i64 RAu = 8;
     while (RAu < RAmax) RAu *= 2;
     RAu = std::min(RAu, SUB);
+    if (force_RAu >= RAu) RAu = force_RAu;   // multi-shard common geometry
     R->RAu = RAu;
     const i64 nsub = std::max<i64>(1, (n_sc * RAu + SUB - 1) / SUB);
     R->nsub = nsub;
@@ -271,6 +273,7 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom) {
         }
         RBu = ((RBu + 7) / 8) * 8;  // 8-row DMA granularity
     }
+    if (force_RBu >= RBu) RBu = force_RBu;   // multi-shard common geometry
     R->RBu = RBu;
 
     R->S1.assign(gamma * KB1 * nsub * SUB * LANES, 0);

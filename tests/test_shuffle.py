@@ -133,3 +133,47 @@ def test_native_router_matches_oracle():
         pp = PackedRoute(build_route(src, n))
         xe2 = np.asarray(shuffle_apply(pp, jnp.asarray(x), interpret=True))
         assert np.array_equal(xe2[: len(src)][liv], x[src[liv]])
+
+
+def test_multishard_shuffle_spmv_interpret():
+    """Multi-shard shuffle tier: per-shard routes under a common forced
+    geometry, shard_map over the stacked tables, gathered-halo input.
+    Interpret-mode on a 2-shard CPU mesh vs the scipy oracle."""
+    import scipy.sparse as sp
+
+    import hpclinalg as hl
+    import hpclinalg.ops.spmv as spmv_mod
+    from hpclinalg.ops.pallas_shuffle import build_spmv_shuffle, shuffle_spmv
+    from hpclinalg.ops.spmv import get_spmv_plan
+
+    rng = np.random.default_rng(31)
+    n = 6000
+    W = 5
+    rows = np.repeat(np.arange(n), W)
+    cols = rng.integers(0, n, n * W)
+    A = sp.csr_matrix((rng.standard_normal(n * W).astype(np.float32),
+                       (rows, cols)), shape=(n, n))
+    A.sum_duplicates()
+    be = hl.backend_auto(nshards=2, dtype=np.float32)
+    old = spmv_mod.DENSE_MAX_ELEMS
+    spmv_mod.DENSE_MAX_ELEMS = 0
+    try:
+        Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=np.float32)
+        x = rng.standard_normal(n).astype(np.float32)
+        xv = hl.DistVector.from_global(x, be, dtype=np.float32)
+        plan = get_spmv_plan(Ad, xv)
+        assert plan.ell
+        xb = plan.exchange.apply(xv.data)
+        y = np.asarray(shuffle_spmv(Ad, plan, xb, interpret=True))
+        ref = A @ x
+        Lrow = Ad.structure.Lrow
+        got = np.concatenate([y[s][: min(Lrow, n - s * Lrow)]
+                              for s in range(2)])
+        err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert err < 2e-6, err
+        packed = build_spmv_shuffle(Ad, plan, int(xb.shape[1]))
+        from hpclinalg.ops.pallas_shuffle import _StackedRoutes
+
+        assert isinstance(packed, _StackedRoutes)
+    finally:
+        spmv_mod.DENSE_MAX_ELEMS = old
