@@ -163,14 +163,16 @@ def main():
 
     assert rplan.ell, "random 1M pattern should ride the ELL tier"
     if shuffle_available(be, Ard.structure):
-        # the deployed tier: Pallas static-shuffle gather engine
+        # the deployed tier: Pallas static-shuffle gather engine.
+        # Amortized-dispatch timing (NOT an in-jit chain: the engine's
+        # ~280 MB device tables would embed as HLO constants).
         extras["spmv_random_engine"] = "shuffle"
-        step = lambda v: shuffle_spmv(Ard, rplan, v) * 0.125  # noqa: E731
+        tr = _amortized_ms(lambda: shuffle_spmv(Ard, rplan, xs.data),
+                           sync, K=16)
     else:
         extras["spmv_random_engine"] = "ell"
-        step = lambda v: _ell_apply(  # noqa: E731
-            Ard, rplan, v, spmm=False) * 0.125
-    tr = _chain_ms(step, xs.data, K=8)
+        tr = _chain_ms(lambda v: _ell_apply(
+            Ard, rplan, v, spmm=False) * 0.125, xs.data, K=8)
     extras["spmv_random_1m_ms"] = round(tr, 3)
     extras["spmv_random_melems_s"] = round(Ar.nnz / (tr / 1e3) / 1e6, 1)
     rgbs = (Ar.nnz * 8 + 2 * n1 * 4) / (tr / 1e3) / 1e9  # nzval+cols + x + y

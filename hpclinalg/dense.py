@@ -86,6 +86,7 @@ class DistDenseMatrix:
     @staticmethod
     def from_local(shards: list[np.ndarray], backend: Backend, dtype=None):
         """Ref: HPCMatrix_local (dense.jl:125)."""
+        backend.check_dtype(dtype or np.result_type(*shards))
         sizes = [s.shape[0] for s in shards]
         n = shards[0].shape[1]
         rp = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)

@@ -225,6 +225,7 @@ class DistSparseMatrix:
                        dtype=None) -> "DistSparseMatrix":
         """Build from per-shard (indptr, global col indices, values) triples
         (ref: HPCSparseMatrix_local, sparse.jl:454-525)."""
+        backend.check_dtype(dtype or np.result_type(*(v for _, _, v in parts)))
         struct_parts = [(ip, gj) for (ip, gj, _v) in parts]
         st = _structure_from_local_csr(struct_parts, ncols, backend, col_partition)
         nz = _pad_stack_nzval([np.asarray(v) for (_i, _j, v) in parts],

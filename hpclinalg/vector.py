@@ -117,6 +117,7 @@ class DistVector:
     @staticmethod
     def from_local(shards: list[np.ndarray], backend: Backend, dtype=None) -> "DistVector":
         """Build from per-shard local arrays (ref: HPCVector_local, vectors.jl:76)."""
+        backend.check_dtype(dtype or np.result_type(*shards))
         sizes = [int(np.asarray(s).shape[0]) for s in shards]
         p = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
         L = padded_size(p)
