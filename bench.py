@@ -220,10 +220,14 @@ def main():
         import subprocess
         import sys as _sys
 
+        import os as _os
+
         r = subprocess.run(
-            [_sys.executable, "tools/bench_scaling.py"], timeout=600,
+            [_sys.executable,
+             _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           "tools", "bench_scaling.py")], timeout=600,
             capture_output=True, text=True,
-            cwd=__file__.rsplit("/", 1)[0] or ".")
+            cwd=_os.path.dirname(_os.path.abspath(__file__)))
         line = r.stdout.strip().splitlines()[-1]
         extras["scaling_virtual_mesh"] = json.loads(line)
     except Exception as e:
