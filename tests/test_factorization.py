@@ -576,3 +576,38 @@ def test_extended_refinement_ell_tier():
     resid = np.linalg.norm(
         A.astype(np.float64) @ np.asarray(x.to_numpy(), np.float64) - b) / np.linalg.norm(b)
     assert resid < 1e-9, f"ELL extended resid {resid}"
+
+
+def test_device_solve_memory_row_distributed():
+    """The solve phase carries O(n/S + |top|) per-device buffers, NOT the
+    O(n)-per-device contrib/zloc of the round-2 design (the cuDSS row-1d
+    distributed-RHS contract, CUDAExt:672-689). Pin the contract: at 8
+    shards on a 2D Laplacian the in-plan pad must be well under n."""
+    import scipy.sparse as sp
+
+    from hpclinalg.solver.device_mf import DeviceFactorization
+
+    k = 48
+    n = k * k
+    T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (k, k))
+    A = (sp.kron(sp.eye(k), T) + sp.kron(T, sp.eye(k))).tocsr()
+    be = hl.backend_auto(nshards=8, dtype=np.float32)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=np.float32)
+    F = DeviceFactorization(Ad, kind="chol", dtype=np.float32)
+    eng = F.engine
+    # per-device solve state = Mmax (local columns) + TOPM (top tree),
+    # NOT O(n): local shard state is ~n/S, and the pad is exactly
+    # round_up(Mmax + TOPM) (at small n the replicated top tree is a
+    # sizeable fraction; it grows like separator size, not n)
+    from hpclinalg.config import round_up
+
+    assert eng.Mmax <= n // 4, (eng.Mmax, n)
+    assert eng.SVPAD == round_up(max(eng.Mmax + eng.TOPM, 1))
+    assert eng.Mmax + eng.TOPM < n, (eng.Mmax, eng.TOPM, n)
+    b = hl.DistVector.from_global(
+        np.random.default_rng(1).standard_normal(n).astype(np.float32), be)
+    x = F.solve(b)
+    r = np.linalg.norm(A @ np.asarray(x.to_numpy(), np.float64)
+                       - b.to_numpy()) / np.linalg.norm(b.to_numpy())
+    assert r < 1e-4, r
+    F.finalize()
