@@ -15,11 +15,14 @@ on-chip memory instead of HBM:
 shape indices, gather along one axis within the other) — there is no
 arbitrary large-space vector gather, so ``xg[idx]`` against a ~1M-slot
 VMEM buffer does NOT lower. ``ell_available`` therefore returns False on
-Mosaic TPUs and the XLA gather+segment path (measured 51 M elem/s at
-n=1e6, 8 nnz/row — the chip's effective random-access ceiling) remains
-the general-sparsity engine. The kernel stays interpret-validated
-(tests/test_engines.py) as the ready vehicle for when Mosaic gains a
-gather primitive; structured patterns ride the DIA/densify tiers instead.
+Mosaic TPUs; the kernel stays interpret-validated (tests/test_engines.py)
+as a historical record of the direct formulation.
+
+SUPERSEDED: the deployed general-sparsity engine is the static-shuffle
+gather (ops/shuffle_router.py + ops/pallas_shuffle.py +
+native/route.cpp), which compiles the gather into lane-gather/transpose
+routing passes — 1.14 Gelem/s on the 1M random SpMV, >10x the XLA path.
+See docs/shuffle_engine_design.md.
 """
 
 from __future__ import annotations
