@@ -249,6 +249,24 @@ def build_route(src_of: np.ndarray, nsrc: int, force_RAu: int = 0,
     if force_RAu >= RAu:
         RAu = force_RAu
     nsub_all = max(1, -(-(n_sc * RAu) // SUB))
+    # staging-stride cap: smallest 8-aligned RBu with rank-overflow spills
+    # <= 0.05% of emissions (max-based sizing wastes ~2x; see route.cpp)
+    allcnt = []
+    for g in range(gamma):
+        selg = np.flatnonzero(okA & (d_gamma == g))
+        sub_g = (e_sc[selg] * RAu + (a_row[selg] - RAoff[g])) // SUB
+        nsub_g = max(1, -(-(n_sc * RAu) // SUB))
+        allcnt.append(np.bincount(sub_g * cpg + d_chunk[selg] // gamma,
+                                  minlength=nsub_g * cpg))
+    allcnt = np.concatenate(allcnt) if gamma else np.zeros(1, np.int64)
+    _rbu_nat = -(-int(allcnt.max()) // LANES) if len(allcnt) else 1
+    _rbu_nat = -(-_rbu_nat // 8) * 8
+    rbu_cap = _rbu_nat
+    for cand in range(8, _rbu_nat, 8):
+        ov = int(np.maximum(allcnt - cand * LANES, 0).sum())
+        if ov * 2000 <= max(ne, 1):
+            rbu_cap = cand
+            break
     for g in range(gamma):
         nrows_bin = n_sc * RAu
         nsub = max(1, -(-nrows_bin // SUB))
@@ -269,7 +287,8 @@ def build_route(src_of: np.ndarray, nsrc: int, force_RAu: int = 0,
         rankB[orderB] = withinB
         cntB = np.bincount(sub * cpg + delta,
                            minlength=nsub * cpg).reshape(nsub, cpg)
-        RB = np.maximum(1, -(-cntB.max(axis=0) // LANES))
+        RB = np.minimum(np.maximum(1, -(-cntB.max(axis=0) // LANES)),
+                        rbu_cap)
         RBsum = int(RB.sum())
         RBoff = np.concatenate([[0], np.cumsum(RB)])
         b_row = RBoff[delta] + rankB // LANES
