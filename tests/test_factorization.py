@@ -611,3 +611,40 @@ def test_device_solve_memory_row_distributed():
                        - b.to_numpy()) / np.linalg.norm(b.to_numpy())
     assert r < 1e-4, r
     F.finalize()
+
+
+def test_nd_order_validity_and_quality():
+    """nd_order (the METIS-ordering role): valid permutation on grids and
+    random patterns, and on 2D grids it must beat AMD's factor flops
+    (the scatter-bound regime analyze_best selects it for)."""
+    import scipy.sparse as sp
+
+    from hpclinalg.solver import symbolic
+    from hpclinalg.solver.ordering import amd_order, nd_order
+
+    def lap2d(k):
+        T = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], (k, k))
+        return (sp.kron(sp.eye(k), T) + sp.kron(T, sp.eye(k))).tocsr()
+
+    A = lap2d(100)  # big enough that separators dominate (at ~40^2 the
+    # leaf-AMD regions dominate and AMD wins — analyze_best's score picks
+    # per pattern, so only the large-grid advantage is contractual)
+    n = A.shape[0]
+    ip, ix = A.indptr.astype(np.int64), A.indices.astype(np.int64)
+    p = nd_order(ip, ix, n)
+    assert sorted(p.tolist()) == list(range(n))
+    s_nd = symbolic.analyze(A, p, relax=64, zeros_frac=0.5, small=64)
+    s_amd = symbolic.analyze(A, amd_order(ip, ix, n), relax=64,
+                             zeros_frac=0.5, small=64)
+    assert s_nd.flops < s_amd.flops, (s_nd.flops, s_amd.flops)
+    # random pattern: still a valid permutation (quality not asserted)
+    R = (sp.random(300, 300, 0.03, random_state=7)
+         + sp.eye(300)).tocsr()
+    pr = nd_order(R.indptr.astype(np.int64), R.indices.astype(np.int64),
+                  300)
+    assert sorted(pr.tolist()) == list(range(300))
+    # disconnected graph
+    D = sp.block_diag([lap2d(8), lap2d(9)]).tocsr()
+    pd_ = nd_order(D.indptr.astype(np.int64), D.indices.astype(np.int64),
+                   D.shape[0])
+    assert sorted(pd_.tolist()) == list(range(D.shape[0]))
