@@ -177,3 +177,41 @@ def test_multishard_shuffle_spmv_interpret():
         assert isinstance(packed, _StackedRoutes)
     finally:
         spmv_mod.DENSE_MAX_ELEMS = old
+
+
+def test_shuffle_spmv_spill_epilogue_interpret():
+    """A duplication-heavy matrix overflows the bank budgets, forcing the
+    spill epilogue (sorted scatter-add of the COO leftovers) — the full
+    shuffle_spmv pipeline must still match scipy exactly-ish."""
+    import scipy.sparse as sp
+
+    import hpclinalg as hl
+    import hpclinalg.ops.spmv as spmv_mod
+    from hpclinalg.ops.pallas_shuffle import build_spmv_shuffle, shuffle_spmv
+    from hpclinalg.ops.spmv import get_spmv_plan
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    W = 6
+    rows = np.repeat(np.arange(n), W)
+    # few hot columns read by many rows: duplication stress -> bank spills
+    cols = rng.integers(0, 50, n * W)
+    A = sp.csr_matrix((rng.standard_normal(n * W).astype(np.float32),
+                       (rows, cols)), shape=(n, n))
+    A.sum_duplicates()
+    be = hl.backend_auto(nshards=1, dtype=np.float32)
+    old = spmv_mod.DENSE_MAX_ELEMS
+    spmv_mod.DENSE_MAX_ELEMS = 0
+    try:
+        Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=np.float32)
+        x = rng.standard_normal(n).astype(np.float32)
+        xv = hl.DistVector.from_global(x, be, dtype=np.float32)
+        plan = get_spmv_plan(Ad, xv)
+        assert plan.ell
+        packed = build_spmv_shuffle(Ad, plan, int(xv.data.shape[1]))
+        y = np.asarray(shuffle_spmv(Ad, plan, xv.data, interpret=True))
+        ref = A @ x
+        err = np.linalg.norm(y.ravel()[:n] - ref) / np.linalg.norm(ref)
+        assert err < 2e-6, err
+    finally:
+        spmv_mod.DENSE_MAX_ELEMS = old
