@@ -113,20 +113,21 @@ class PackedRoute:
         try:
             (ne, T1, n_sc, C2, gamma, cpg, RAu, nsub, RBu,
              nspill) = (int(v) for v in geom[:10])
-            win = np.zeros(n_sc, np.int32)
-            win_rel = np.zeros(T1, np.int8)
-            M = np.zeros((T1 // SC, SC, LANES), np.int8)
-            SA = np.zeros((n_sc, KA, SC, LANES), np.int8)
-            A_brow = np.zeros((n_sc, gamma * RAu, LANES), np.int16)
-            A_bank = np.zeros((n_sc, gamma * RAu, LANES), np.uint8)
-            S1 = np.zeros((gamma, KB1, nsub * SUB, LANES), np.int8)
-            B1_brow = np.zeros((gamma, nsub, cpg * RBu, LANES), np.int16)
-            B1_bank = np.zeros((gamma, nsub, cpg * RBu, LANES), np.uint8)
-            S2 = np.zeros((gamma, cpg, KB2, nsub * RBu, LANES), np.int8)
-            B2_brow = np.zeros((gamma, cpg, LANES, LANES), np.int16)
-            B2_bank = np.zeros((gamma, cpg, LANES, LANES), np.uint8)
-            spill_dst = np.zeros(nspill, np.int64)
-            spill_src = np.zeros(nspill, np.int64)
+            # np.empty: route_export memcpy's every byte of each table
+            win = np.empty(n_sc, np.int32)
+            win_rel = np.empty(T1, np.int8)
+            M = np.empty((T1 // SC, SC, LANES), np.int8)
+            SA = np.empty((n_sc, KA, SC, LANES), np.int8)
+            A_brow = np.empty((n_sc, gamma * RAu, LANES), np.int16)
+            A_bank = np.empty((n_sc, gamma * RAu, LANES), np.uint8)
+            S1 = np.empty((gamma, KB1, nsub * SUB, LANES), np.int8)
+            B1_brow = np.empty((gamma, nsub, cpg * RBu, LANES), np.int16)
+            B1_bank = np.empty((gamma, nsub, cpg * RBu, LANES), np.uint8)
+            S2 = np.empty((gamma, cpg, KB2, nsub * RBu, LANES), np.int8)
+            B2_brow = np.empty((gamma, cpg, LANES, LANES), np.int16)
+            B2_bank = np.empty((gamma, cpg, LANES, LANES), np.uint8)
+            spill_dst = np.empty(nspill, np.int64)
+            spill_src = np.empty(nspill, np.int64)
             args = [win, win_rel, M, SA, A_brow, A_bank, S1, B1_brow,
                     B1_bank, S2, B2_brow, B2_bank, spill_dst, spill_src]
             lib.route_export(ctypes.c_void_p(h), *[
