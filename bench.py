@@ -134,10 +134,22 @@ def main():
     from hpclinalg.ops.spmv import _dia_exec, _dia_values, get_spmv_plan
 
     plan = get_spmv_plan(Asd, xs)
-    dval = _dia_values(Asd, plan)
-    ex = _dia_exec(plan.offsets, Asd.structure.Lrow, plan.bias_lo,
-                   plan.bias_hi, pad_to=plan.exchange.out_pad)
-    t = _chain_ms(lambda v: ex(dval, v) * 0.125, xs.data, K=64)
+    from hpclinalg.ops.pallas_dia import (_pallas_dia_fn, dia_table_padded,
+                                          pallas_available)
+
+    if pallas_available(be, Asd.structure.Lrow):
+        # the deployed tier at 1M rows (gate: 2^19)
+        fnp, npadp = _pallas_dia_fn(plan.offsets, Asd.structure.Lrow,
+                                    int(xs.data.shape[1]))
+        tblp = dia_table_padded(Asd, plan, npadp)
+        t = _chain_ms(lambda v: fnp(tblp, v) * 0.125, xs.data, K=64)
+        extras["spmv_stencil_engine"] = "pallas"
+    else:
+        dval = _dia_values(Asd, plan)
+        ex = _dia_exec(plan.offsets, Asd.structure.Lrow, plan.bias_lo,
+                       plan.bias_hi, pad_to=plan.exchange.out_pad)
+        t = _chain_ms(lambda v: ex(dval, v) * 0.125, xs.data, K=64)
+        extras["spmv_stencil_engine"] = "xla"
     O = len(plan.offsets)
     traffic = (O * n1 + 2 * n1) * 4  # one pass over dia table + x + y
     gbs = traffic / (t / 1e3) / 1e9
