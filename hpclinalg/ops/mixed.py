@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..cache import cached_plan
 from .gather import gather_exchange_plan
@@ -121,11 +122,62 @@ def sparse_times_dense(A, B):
     return DistDenseMatrix(C, st.row_partition, B.ncols, A.backend)
 
 
+# dense×sparse densify gate: replicate B as a dense (m, k) block when it
+# fits (elements). A (mA, nB) dense A already exists, so an (nB, kB)
+# replicated block is affordable for every realistic dense×sparse shape.
+DXS_DENSIFY_MAX_ELEMS = 1 << 25
+
+
+@lru_cache(maxsize=None)
+def _densify_matmat(nB: int, kB: int):
+    @jax.jit
+    def run(Adata, vals, flat):
+        dt = jnp.result_type(Adata.dtype, vals.dtype)
+        Bd = jnp.zeros((nB * kB,), dt).at[flat].add(
+            vals.astype(dt), mode="drop").reshape(nB, kB)
+        return jnp.einsum("slg,gk->slk", Adata.astype(dt), Bd,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    return run
+
+
 def dense_times_sparse(A, B):
-    """C = A_dn @ B_sp = (Bᵀ @ Aᵀ)ᵀ via the cached sparse transpose and the
-    fast sparse×dense kernel (ref dense.jl:1286-1308, redesigned)."""
+    """C = A_dn @ B_sp (ref dense.jl:1286-1308, column-by-column there).
+
+    Redesigned as ONE collective: allgather B's nonzeros (O(nnz) traffic),
+    scatter them into a replicated dense (m, k) block on device, and run a
+    single MXU einsum against the local A rows — owner-computes on C with
+    zero transposes (each shard does exactly its nnz·Lrow_A share of the
+    FLOPs). Falls back to (Bᵀ @ Aᵀ)ᵀ through the cached sparse transpose
+    when B is too large to replicate densely."""
     if A.ncols != B.m:
         raise ValueError("dimension mismatch")
+    if B.m * B.ncols <= DXS_DENSIFY_MAX_ELEMS:
+        from ..dense import DistDenseMatrix
+        from ..parallel.mesh import allgather_full
+
+        st = B.structure
+        be = B.backend
+
+        def build():
+            idx = []
+            for s in range(be.nshards):
+                r0 = int(st.row_partition[s])
+                counts = np.diff(st.indptr[s])
+                rows = np.repeat(
+                    np.arange(len(counts), dtype=np.int64) + r0, counts)
+                cols = st.col_indices[s][st.colval[s]]
+                idx.append(rows * B.ncols + cols)
+            flat = (np.concatenate(idx) if idx
+                    else np.zeros(0, np.int64)).astype(np.int32)
+            nnzb = np.concatenate(
+                [[0], np.cumsum(st.nnz_local)]).astype(np.int64)
+            return jax.device_put(flat, be.replicated()), nnzb
+
+        flat, nnzb = cached_plan("dxs_densify", (st.hash, be.key), build)
+        vals = allgather_full(B.nzval, nnzb, be)
+        C = _densify_matmat(B.m, B.ncols)(A.data, vals, flat)
+        return DistDenseMatrix(C, A.row_partition, B.ncols, be)
     Bt = B.transpose_materialized()
     At = A.transpose_materialized()
     Ct = sparse_times_dense(Bt, At)

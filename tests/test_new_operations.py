@@ -39,6 +39,36 @@ def test_dense_times_sparse(cfg):
     assert_close((Ad @ Bd).to_numpy(), A @ B.toarray(), dtype)
 
 
+def test_dense_times_sparse_fallback_path(cfg, monkeypatch):
+    """Both engines of A_dn @ B_sp agree with the oracle: the allgather +
+    densify MXU path (default) and the (Bᵀ Aᵀ)ᵀ transpose fallback for
+    un-replicable B (forced by shrinking the densify gate)."""
+    from hpclinalg.ops import mixed
+
+    be, dtype = cfg
+    A = dense_matrix(11, 23, dtype, seed=215)
+    B = random_sparse(23, 17, 0.22, dtype, seed=216)
+    Ad = hl.DistDenseMatrix.from_global(A, be, dtype=dtype)
+    Bd = hl.DistSparseMatrix.from_scipy(B, be, dtype=dtype)
+    ref = A @ B.toarray()
+    assert_close((Ad @ Bd).to_numpy(), ref, dtype)
+    monkeypatch.setattr(mixed, "DXS_DENSIFY_MAX_ELEMS", 0)
+    assert_close((Ad @ Bd).to_numpy(), ref, dtype)
+
+
+def test_dense_times_sparse_tall_result(cfg):
+    """Non-square shapes where the result is taller than either operand's
+    common dimension (exercises the replicated densify indexing)."""
+    be, dtype = cfg
+    A = dense_matrix(26, 7, dtype, seed=217)
+    B = random_sparse(7, 31, 0.4, dtype, seed=218)
+    Ad = hl.DistDenseMatrix.from_global(A, be, dtype=dtype)
+    Bd = hl.DistSparseMatrix.from_scipy(B, be, dtype=dtype)
+    C = Ad @ Bd
+    assert C.m == 26 and C.ncols == 31
+    assert_close(C.to_numpy(), A @ B.toarray(), dtype)
+
+
 def test_map_rows_vectors(cfg):
     import jax.numpy as jnp
 
