@@ -266,6 +266,16 @@ def cat(*blocks, dims=1):
     if isinstance(b0, DistDenseMatrix):
         return cat_dense(*blocks, dims=dims)
     if isinstance(b0, DistVector):
+        if isinstance(dims, tuple):
+            # ref blocks.jl:349-383: dims=(n,1) == vcat, dims=(1,n) == hcat
+            m, n = dims
+            if m * n != len(blocks):
+                raise ValueError("dims grid does not match block count")
+            if n == 1:
+                return vcat_vectors(*blocks) if m > 1 else blocks[0]
+            if m == 1:
+                return hcat_vectors(*blocks)
+            raise ValueError("vector cat grids must be (n,1) or (1,n)")
         if dims == 2:
             return hcat_vectors(*blocks)
         if dims != 1:

@@ -49,6 +49,20 @@ def dense_getindex(A, key):
     rkey, ckey = key
     m, n = A.shape
     S = A.backend.nshards
+
+    # A[k, cols] -> row as DistVector (ref indexing.jl idx-x-Int forms,
+    # the transpose analogue of A[:, k])
+    if isinstance(rkey, (int, np.integer)) and not isinstance(
+            ckey, (int, np.integer)):
+        check_ids_bounds(np.array([int(rkey)]), m)
+        R = dense_getindex(A, (slice(int(rkey), int(rkey) + 1), ckey))
+        from ..parallel.mesh import scatter_from_full
+
+        full = _sum_rows(R.data)  # (ncols,) replicated; one valid row
+        rp = uniform_partition(R.ncols, S)
+        return DistVector(scatter_from_full(full, rp, A.backend), rp,
+                          A.backend)
+
     rids, rtag, rslice = _row_ids(rkey, m, S)
 
     # column selector (replicated within row blocks -> local take)
@@ -94,6 +108,11 @@ def dense_getindex(A, key):
 @lru_cache(maxsize=None)
 def _take_col_fn(k: int):
     return jax.jit(lambda d: d[:, :, k])
+
+
+@jax.jit
+def _sum_rows(d):
+    return jnp.sum(d, axis=(0, 1))
 
 
 @jax.jit

@@ -203,3 +203,42 @@ def test_cat_with_empty_blocks(be4):
     G = hl.cat_sparse(*dist, dims=(2, 2))
     ref = sp.bmat([[A, Z], [B, C]]).toarray()
     assert_close(G.to_scipy().toarray(), ref, np.float64)
+
+
+def test_vector_cat_tuple_dims(cfg):
+    """Ref blocks.jl:349-383: cat(v...; dims=(n,1)) == vcat, dims=(1,n) ==
+    hcat -> dense, dims=(1,1) returns the vector itself."""
+    from utils import rand_vector
+
+    be, dtype = cfg
+    vs = [rand_vector(7, dtype, seed=120 + i) for i in range(3)]
+    ds = [hl.DistVector.from_global(v, be, dtype=dtype) for v in vs]
+    V = hl.cat(*ds, dims=(3, 1))
+    assert isinstance(V, hl.DistVector)
+    assert_close(V.to_numpy(), np.concatenate(vs), dtype)
+    M = hl.cat(*ds, dims=(1, 3))
+    assert isinstance(M, hl.DistDenseMatrix)
+    assert_close(M.to_numpy(), np.stack(vs, axis=1), dtype)
+    single = hl.cat(ds[0], dims=(1, 1))
+    assert_close(single.to_numpy(), vs[0], dtype)
+    import pytest
+
+    with pytest.raises(ValueError):
+        hl.cat(*ds, dims=(2, 2))
+    with pytest.raises(ValueError):
+        hl.cat(*ds, dims=(2, 1))
+
+
+def test_three_block_cats(cfg):
+    """Ref blocks.jl:103-142 uses THREE operands for vcat/hcat; cover the
+    >2-block path plus a following SpMV on the result."""
+    be, dtype = cfg
+    A, Ad = _mk(be, dtype, 8, 10, 130)
+    B, Bd = _mk(be, dtype, 5, 10, 131)
+    C, Cd = _mk(be, dtype, 6, 10, 132)
+    V = hl.cat(Ad, Bd, Cd, dims=1)
+    ref = sp.vstack([A, B, C])
+    assert_close(V.to_scipy().toarray(), ref.toarray(), dtype)
+    H = hl.cat(Ad.transpose_materialized(), Bd.transpose_materialized(),
+               Cd.transpose_materialized(), dims=2)
+    assert_close(H.to_scipy().toarray(), ref.T.toarray(), dtype)

@@ -280,3 +280,65 @@ def test_int_index_bounds_checked(be4):
             M[:, bad]
     # valid int column still works
     assert np.allclose(M[:, 2].to_numpy(), np.arange(32.0).reshape(8, 4)[:, 2])
+
+
+def test_sparse_row_and_col_to_vector(cfg):
+    """A[k, cols] -> row as DistVector; A[rows, k] -> column slice
+    (ref indexing.jl:385/872 A[:,k] plus idx-x-Int forms :1654)."""
+    be, dtype = cfg
+    A = random_sparse(15, 11, 0.35, dtype, seed=170)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    D = A.toarray()
+    col = Ad[:, 4]
+    assert isinstance(col, hl.DistVector)
+    assert_close(col.to_numpy(), D[:, 4], dtype)
+    row = Ad[7, :]
+    assert isinstance(row, hl.DistVector)
+    assert_close(row.to_numpy(), D[7, :], dtype)
+    picked = Ad[[3, 9, 0, 9], 2]
+    assert_close(picked.to_numpy(), D[[3, 9, 0, 9], 2], dtype)
+    rpick = Ad[5, [1, 10, 1]]
+    assert_close(rpick.to_numpy(), D[5, [1, 10, 1]], dtype)
+
+
+def test_sparse_mixed_range_fancy(cfg):
+    """Mixed range x idx forms both ways (ref indexing.jl:1483-1654)."""
+    be, dtype = cfg
+    A = random_sparse(18, 14, 0.3, dtype, seed=171)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    D = A.toarray()
+    S1 = Ad[2:15, [0, 5, 13, 5]]
+    assert_close(S1.to_scipy().toarray(), D[2:15][:, [0, 5, 13, 5]], dtype)
+    S2 = Ad[[17, 4, 4, 11], 3:12]
+    assert_close(S2.to_scipy().toarray(), D[[17, 4, 4, 11], 3:12], dtype)
+
+
+def test_strided_slices(cfg):
+    """Strided ranges (ref indexing.jl range forms support step)."""
+    be, dtype = cfg
+    A = random_sparse(20, 20, 0.3, dtype, seed=172)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    D = A.toarray()
+    assert_close(Ad[::2, 1::3].to_scipy().toarray(), D[::2, 1::3], dtype)
+    v = rand_vector(21, dtype, seed=173)
+    vd = hl.DistVector.from_global(v, be, dtype=dtype)
+    assert_close(vd[2::4].to_numpy(), v[2::4], dtype)
+
+
+def test_dense_fancy_and_column(cfg):
+    """Dense fancy gets, M[:, k] and M[k, :] vector extraction
+    (ref indexing.jl dense sections :691-940)."""
+    from utils import dense_matrix
+
+    be, dtype = cfg
+    M = dense_matrix(16, 9, dtype, seed=174)
+    Md = hl.DistDenseMatrix.from_global(M, be, dtype=dtype)
+    col = Md[:, 6]
+    assert isinstance(col, hl.DistVector)
+    assert_close(col.to_numpy(), M[:, 6], dtype)
+    row = Md[3, :]
+    assert_close(row.to_numpy(), M[3, :], dtype)
+    F = Md[[15, 2, 2, 8], :]
+    assert_close(F.to_numpy(), M[[15, 2, 2, 8], :], dtype)
+    G = Md[4:12, [8, 0, 3]]
+    assert_close(G.to_numpy(), M[4:12][:, [8, 0, 3]], dtype)

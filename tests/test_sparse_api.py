@@ -293,3 +293,64 @@ def test_copy_semantics(cfg):
     assert Bd is not Ad
     assert_close(Bd.to_scipy().toarray(), A.toarray(), dtype)
     assert Bd.hash == Ad.hash  # same structure identity
+
+
+def test_maximum_minimum_mean(cfg):
+    """Ref sparse.jl:2650-2678: maximum/minimum include the implicit zeros
+    of a non-full pattern; mean divides by m*n."""
+    be, dtype = cfg
+    if np.issubdtype(np.dtype(dtype), np.complexfloating):
+        A = random_sparse(14, 19, 0.3, np.float64, seed=158).astype(dtype)
+    else:
+        A = random_sparse(14, 19, 0.3, dtype, seed=158)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    D = A.toarray()
+    assert_close(complex(Ad.mean()), D.mean(), dtype)
+    if not np.issubdtype(np.dtype(dtype), np.complexfloating):
+        assert_close(float(Ad.maximum()), D.max(), dtype)
+        assert_close(float(Ad.minimum()), D.min(), dtype)
+        # all-positive stored values: the implicit zero must win the min
+        P = sp.csr_matrix(np.abs(D) + (D != 0))
+        Pd = hl.DistSparseMatrix.from_scipy(P, be, dtype=dtype)
+        assert_close(float(Pd.minimum()), 0.0, dtype)
+        # full (dense-pattern) matrix: zeros no longer participate
+        F = sp.csr_matrix(np.abs(np.asarray(D)) + 1.0)
+        Fd = hl.DistSparseMatrix.from_scipy(F, be, dtype=dtype)
+        assert_close(float(Fd.minimum()), (np.abs(D) + 1.0).min(), dtype)
+
+
+def test_adjoint_materialized(cfg):
+    """Ref sparse.jl:2261-2280: A' materializes to the conjugate transpose
+    through the cached TransposePlan."""
+    be, dtype = cfg
+    A = random_sparse(12, 17, 0.3, dtype, seed=159)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    H = Ad.H.materialize()
+    assert_close(H.to_scipy().toarray(), A.toarray().conj().T, dtype)
+    x = rand_vector(12, dtype, seed=160)
+    xv = hl.DistVector.from_global(x, be, dtype=dtype)
+    assert_close((Ad.H @ xv).to_numpy(), A.toarray().conj().T @ x, dtype)
+
+
+def test_imag_and_scalar_rmul(cfg):
+    """Ref sparse.jl:2488-2569 map family + 2289 scalar products."""
+    be, dtype = cfg
+    A = random_sparse(13, 13, 0.3, dtype, seed=161)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    assert_close(Ad.imag().to_scipy().toarray(), A.toarray().imag, dtype)
+    assert_close((2.0 * Ad).to_scipy().toarray(), 2 * A.toarray(), dtype)
+    assert_close((Ad * dtype(0)).to_scipy().toarray(),
+                 np.zeros((13, 13), dtype), dtype)
+
+
+def test_norm_p_and_opnorm_nonsquare(cfg):
+    """Elementwise p-norm (p=3) and induced norms on a non-square pattern
+    (ref sparse.jl:2172-2244)."""
+    be, dtype = cfg
+    A = random_sparse(9, 22, 0.35, dtype, seed=162)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=dtype)
+    D = A.toarray()
+    assert_close(float(Ad.norm(3)), (np.abs(D) ** 3).sum() ** (1 / 3), dtype)
+    assert_close(float(Ad.norm(np.inf)), np.abs(D).max(), dtype)
+    assert_close(Ad.opnorm(1), np.abs(D).sum(axis=0).max(), dtype)
+    assert_close(Ad.opnorm(np.inf), np.abs(D).sum(axis=1).max(), dtype)
