@@ -62,3 +62,15 @@ def test_transpose_scalar_ops(be4):
     Z = Ad.T * 2.0
     assert isinstance(Z, hl.LazyTranspose)
     assert_close(np.asarray(Z.to_scipy().todense()), 2 * A.T.toarray(), np.float64)
+
+
+def test_transpose_empty_shards_and_cache(be4):
+    """Transpose across a partition with empty shards; the bidirectional
+    result cache returns the SAME object both ways (ref sparse.jl:1857-59)."""
+    A = random_sparse(10, 16, 0.3, seed=31)
+    part = np.array([0, 4, 4, 4, 10])
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4, row_partition=part)
+    At = Ad.transpose_materialized()
+    assert_close(At.to_scipy().toarray(), A.T.toarray(), np.float64)
+    assert At.transpose_materialized() is Ad      # bidirectional cache
+    assert Ad.transpose_materialized() is At      # idempotent

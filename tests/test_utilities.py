@@ -157,3 +157,16 @@ def test_cache_reuse_same_structure():
     _ = Ad1 @ x
     assert sum(cache_sizes().values()) == n_after_first
     clear_plan_cache()
+
+
+def test_repr_strings(be4):
+    from utils import random_sparse
+
+    """Container __repr__ carries shape/shards/dtype (debugging surface,
+    ref Base.show HPCLinearAlgebra.jl:941-1005)."""
+    A = random_sparse(9, 9, 0.3, seed=77)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    r = repr(Ad)
+    assert "9" in r and "shards=4" in r and "float64" in r
+    v = hl.DistVector.from_global(np.arange(5.0), be4)
+    assert "5" in repr(v)

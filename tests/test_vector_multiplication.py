@@ -223,3 +223,49 @@ def test_spmv_aliasing(cfg):
     y2 = Ad @ y1
     assert_close(y1.to_numpy(), A @ x, dtype)       # y1 not clobbered
     assert_close(y2.to_numpy(), A @ (A @ x), dtype)
+
+
+def test_spmv_empty_shards(be4):
+    """Partitions with empty shards (ref: asymmetric partitions in
+    test_factorization.jl:134-515 use them; every op must tolerate
+    zero-row shards)."""
+    A = random_sparse(12, 12, 0.4, seed=17)
+    part = np.array([0, 0, 7, 7, 12])
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4, row_partition=part)
+    x = rand_vector(12)
+    xv = hl.DistVector.from_global(x, be4, partition=part)
+    y = Ad @ xv
+    assert_close(y.to_numpy(), A @ x, np.float64)
+    assert np.array_equal(y.partition, part)
+
+
+def test_spmv_value_refresh_same_plan(be4):
+    """The plan/execute split contract: same structure + new values reuse
+    the SAME compiled plan and produce the new product (ref: values-only
+    re-execution, execute_plan!, vectors.jl:394)."""
+    A = random_sparse(25, 25, 0.25, seed=18)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    x = rand_vector(25)
+    xv = hl.DistVector.from_global(x, be4)
+    _ = Ad @ xv
+    n0 = hl.cache_sizes().get("vector_plan", 0)
+    A2 = A.copy()
+    A2.data[:] = np.random.default_rng(19).standard_normal(A.nnz)
+    Ad2 = hl.DistSparseMatrix.from_scipy(A2, be4)  # same pattern
+    y2 = Ad2 @ xv
+    assert hl.cache_sizes().get("vector_plan", 0) == n0  # plan reused
+    assert_close(y2.to_numpy(), A2 @ x, np.float64)
+
+
+def test_spmv_after_setindex_invalidation(be4):
+    """Structural setindex invalidates the hash: the next product must NOT
+    ride the stale plan (ref: indexing.jl:1276-1295 invalidation)."""
+    A = random_sparse(15, 15, 0.3, seed=20)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be4)
+    x = rand_vector(15)
+    xv = hl.DistVector.from_global(x, be4)
+    assert_close((Ad @ xv).to_numpy(), A @ x, np.float64)
+    Ad[2:5, 3:9] = 7.5
+    D = A.toarray().copy()
+    D[2:5, 3:9] = 7.5
+    assert_close((Ad @ xv).to_numpy(), D @ x, np.float64)
