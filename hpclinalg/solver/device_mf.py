@@ -218,7 +218,74 @@ def _clamp(d, eps):
     return safe, jnp.sum(bad)
 
 
+# XLA's batched triangular_solve lowers to an InvertDiagBlocksLowerTriangular
+# custom call whose scoped-VMEM workspace is a fixed ~17.5 MB at 81-wide
+# fronts — over the 16 MB scoped limit, a hard COMPILE error (hit at 2D
+# 10^6 dof with relax=64 amalgamation; the workspace is size-class-, not
+# batch-dependent: chunking the batch reproduced the identical overflow).
+# Small fronts therefore ride a hand-rolled recursive block substitution:
+# pure batched MXU matmuls + an unrolled leaf, no custom call, no scoped
+# workspace. Large fronts (top dense levels, small batches) keep the
+# custom call, where it is the right tool.
+_TRSM_SMALL_N = 128
+_TRSM_MIN_BATCH = 256
+_TRSM_LEAF = 8
+
+
+def _solve_lower(L, B, unit, prec):
+    """X = L^{-1} B for batched lower-triangular L (recursive blocked
+    forward substitution)."""
+    n = L.shape[-1]
+    if n <= _TRSM_LEAF:
+        rows = []
+        for i in range(n):
+            acc = B[..., i, :]
+            for j in range(i):
+                acc = acc - L[..., i, j, None] * rows[j]
+            if not unit:
+                acc = acc / L[..., i, i, None]
+            rows.append(acc)
+        return jnp.stack(rows, axis=-2)
+    m = n // 2
+    X1 = _solve_lower(L[..., :m, :m], B[..., :m, :], unit, prec)
+    B2 = B[..., m:, :] - jnp.matmul(L[..., m:, :m], X1, precision=prec)
+    X2 = _solve_lower(L[..., m:, m:], B2, unit, prec)
+    return jnp.concatenate([X1, X2], axis=-2)
+
+
+def _tri_small(a, b, left_side=False, lower=True, transpose_a=False,
+               unit_diagonal=False):
+    """lax.linalg.triangular_solve semantics (the flag combinations this
+    module uses; conjugate_a unsupported) via _solve_lower."""
+    prec = _mm_prec(a.dtype)
+    if not left_side:
+        # X op(A) = B  <=>  op(A)^T X^T = B^T
+        N = a if transpose_a else jnp.swapaxes(a, -1, -2)
+        nlower = lower if transpose_a else not lower
+        X = _tri_small(N, jnp.swapaxes(b, -1, -2), left_side=True,
+                       lower=nlower, unit_diagonal=unit_diagonal)
+        return jnp.swapaxes(X, -1, -2)
+    M = a if not transpose_a else jnp.swapaxes(a, -1, -2)
+    mlower = lower if not transpose_a else not lower
+    if mlower:
+        return _solve_lower(M, b, unit_diagonal, prec)
+    # upper-triangular left solve: index-reversal maps it to a lower solve
+    Xr = _solve_lower(M[..., ::-1, ::-1], b[..., ::-1, :],
+                      unit_diagonal, prec)
+    return Xr[..., ::-1, :]
+
+
 def _tri(a, b, **kw):
+    batch = 1
+    for s in a.shape[:-2]:
+        batch *= int(s)
+    # probed on v5e: (B=64, n=81) and (B=823, n>=96) compile fine; the
+    # 17.45 MB workspace appears only for large batches of small
+    # non-aligned fronts — exactly where batched-MXU substitution is
+    # also the faster formulation
+    if (a.shape[-1] <= _TRSM_SMALL_N and batch >= _TRSM_MIN_BATCH
+            and not kw.get("conjugate_a", False)):
+        return _tri_small(a, b, **kw)
     return jax.lax.linalg.triangular_solve(a, b, **kw)
 
 
@@ -297,6 +364,16 @@ def _pad2(rows_list, fill, width=None):
     for i, r in enumerate(rows_list):
         out[i, : len(r)] = r
     return out
+
+
+def _ea_dst_flat(dstb, psl, NF, oob):
+    """(…, C) batch slots + (…, C, NR) parent slots -> flat front indices
+    (…, C, NR, NR), computed on device (never materialized on host:
+    O(sum nr^2) would sink 3D problems)."""
+    pi = psl[..., :, None]
+    pj = psl[..., None, :]
+    dst = (dstb[..., None, None] * NF + pi) * NF + pj
+    return jnp.where((pi < 0) | (pj < 0), oob, dst)
 
 
 class DeviceScheduleError(ValueError):
@@ -769,6 +846,72 @@ class DeviceMF:
         self._solve_jit = jax.jit(self._solve_impl,
                                   static_argnums=(4,))
 
+        # -- fused vs staged factor execution --------------------------------
+        # The single-jit factor gives XLA the whole level program (best
+        # steady time: scatters overlap kernels across levels) but its
+        # buffer-assignment peak is a few times the padded front volume —
+        # at 2D 10^6 dof that is 28 GB against 15.75 GB of HBM, a hard
+        # compile error. Above a working-set estimate we run each level as
+        # its own jit: XLA frees a level's assembly intermediates at stage
+        # exit, bounding peak at (persistent factors + updates + one
+        # level's working set) for a few ms of extra dispatch overhead.
+        itemsize = self.dtype.itemsize
+        fsum = sum(S * m.B * m.NF * m.NF for m in self.local_levels) \
+            * itemsize
+        usum = sum(S * m.B * (m.NF - m.NC) ** 2 for m in self.local_levels) \
+            * itemsize
+        est = 4 * (fsum + usum)
+        cap = int(os.environ.get("HPCLINALG_FUSED_FACTOR_CAP",
+                                 str(10 << 30)))
+        self._staged = est > cap
+        self._stage_jits: dict = {}
+
+    # ------------------------------------------------------------------
+    def _stage(self, l):
+        """Per-level jitted stage for the staged factor path (cached)."""
+        hit = self._stage_jits.get(l)
+        if hit is not None:
+            return hit
+        m = self.local_levels[l]
+        need = sorted({lc for lc, *_ in m.ea})
+
+        def stage(bufs, Av, upds_in, eps):
+            upds = dict(zip(need, upds_in))
+            return self._local_level_body(m, bufs, Av, upds, eps)
+
+        out = (jax.jit(stage), need)
+        self._stage_jits[l] = out
+        return out
+
+    def _factor_staged(self, Avals, eps):
+        bufs = self._bufs
+        jits = self._stage_jits
+        if "prep" not in jits:
+            dt = self.dtype
+            jits["prep"] = jax.jit(lambda Av: jnp.concatenate(
+                [Av.astype(dt), jnp.zeros(1, dt)]))
+            cn = sorted({lc for lc, *_ in self.cross_maps})
+            jits["cross"] = (jax.jit(lambda bufs, upds_in: self._cross_body(
+                bufs, dict(zip(cn, upds_in)))), cn)
+            jits["top"] = jax.jit(self._top_body)
+            jits["npert"] = jax.jit(
+                lambda ps: jnp.stack(list(ps)).sum().astype(jnp.int32))
+        Av = jits["prep"](Avals)
+        upds: dict = {}
+        loc_factors = []
+        nperts = []
+        for l in range(len(self.local_levels)):
+            fn, need = self._stage(l)
+            fac, U, p = fn(bufs, Av, tuple(upds[lc] for lc in need), eps)
+            upds[l] = U
+            loc_factors.append(fac)
+            nperts.append(p)
+        cfn, cn = jits["cross"]
+        crossp = cfn(bufs, tuple(upds[lc] for lc in cn))
+        top_factors, ptop = jits["top"](bufs, Av, crossp, eps)
+        nperts.append(ptop)
+        return loc_factors, top_factors, jits["npert"](tuple(nperts))
+
     # ------------------------------------------------------------------
     def _dev(self, arr):
         return jax.device_put(arr, self.backend.row_sharding(arr.ndim - 2))
@@ -823,52 +966,42 @@ class DeviceMF:
         U = F22 - jnp.matmul(L21, U12, precision=_mm_prec(F.dtype))
         return (L11, U11, L21, U12), U, npert
 
-    def _factor_impl(self, bufs, Avals, eps):
+    def _local_level_body(self, m, bufs, Av, upds, eps):
+        """Assemble + extend-add + factor ONE local level batch.
+        ``upds``: anything indexable by child level id. Returns
+        (fac tuple (S, B, ...), U (S, B, NR, NR), n_perturbed)."""
         dt = self.dtype
         S = self.S
-        Av = jnp.concatenate([Avals.astype(dt), jnp.zeros(1, dt)])
-        upds = []          # per local level: (S, B, NR, NR)
-        loc_factors = []
-        npert = jnp.zeros((), jnp.int32)
+        B, NC, NF = m.B, m.NC, m.NF
+        vals = jnp.take(Av, bufs[m.a_src], axis=0)  # (S, Ka) repl. source
+        F = jnp.zeros((S, B * NF * NF), dt)
+        F = jax.vmap(lambda f, d, v: f.at[d].add(v, mode="drop"))(
+            F, bufs[m.a_dst], vals)
+        F = jax.vmap(lambda f, d: f.at[d].set(1.0, mode="drop"))(
+            F, bufs[m.diag])
+        if EA_MATMUL and m.ea:
+            F4 = F.reshape(S, B, NF, NF)
+            for lc, srcb, dstb, psl in m.ea:
+                u = jax.vmap(lambda Us, sb: Us[sb])(upds[lc], bufs[srcb])
+                F4 = _ea_onehot_add(F4, bufs[dstb], bufs[psl], u, dt)
+            F = F4.reshape(S, B * NF * NF)
+        else:
+            for lc, srcb, dstb, psl in m.ea:
+                u = jax.vmap(lambda Us, sb: Us[sb])(upds[lc], bufs[srcb])
+                dst = _ea_dst_flat(bufs[dstb], bufs[psl], NF, B * NF * NF)
+                F = jax.vmap(lambda f, d, vv: f.at[d.reshape(-1)].add(
+                    vv.reshape(-1), mode="drop"))(F, dst, u)
+        F = F.reshape(S * B, NF, NF)
+        fac, U, p = self._front_kernel(F, NC, eps)
+        NR = NF - NC
+        return (tuple(x.reshape((S, B) + x.shape[1:]) for x in fac),
+                U.reshape(S, B, NR, NR), p)
 
-        def ea_dst(dstb, psl, NF, oob):
-            """(…, C) batch slots + (…, C, NR) parent slots -> flat front
-            indices (…, C, NR, NR), computed on device (never materialized
-            on host: O(sum nr^2) would sink 3D problems)."""
-            pi = psl[..., :, None]
-            pj = psl[..., None, :]
-            dst = (dstb[..., None, None] * NF + pi) * NF + pj
-            return jnp.where((pi < 0) | (pj < 0), oob, dst)
-
-        for m in self.local_levels:
-            B, NC, NF = m.B, m.NC, m.NF
-            vals = jnp.take(Av, bufs[m.a_src], axis=0)  # (S, Ka) repl. source
-            F = jnp.zeros((S, B * NF * NF), dt)
-            F = jax.vmap(lambda f, d, v: f.at[d].add(v, mode="drop"))(
-                F, bufs[m.a_dst], vals)
-            F = jax.vmap(lambda f, d: f.at[d].set(1.0, mode="drop"))(
-                F, bufs[m.diag])
-            if EA_MATMUL and m.ea:
-                F4 = F.reshape(S, B, NF, NF)
-                for lc, srcb, dstb, psl in m.ea:
-                    u = jax.vmap(lambda Us, sb: Us[sb])(upds[lc], bufs[srcb])
-                    F4 = _ea_onehot_add(F4, bufs[dstb], bufs[psl], u, dt)
-                F = F4.reshape(S, B * NF * NF)
-            else:
-                for lc, srcb, dstb, psl in m.ea:
-                    u = jax.vmap(lambda Us, sb: Us[sb])(upds[lc], bufs[srcb])
-                    dst = ea_dst(bufs[dstb], bufs[psl], NF, B * NF * NF)
-                    F = jax.vmap(lambda f, d, vv: f.at[d.reshape(-1)].add(
-                        vv.reshape(-1), mode="drop"))(F, dst, u)
-            F = F.reshape(S * B, NF, NF)
-            fac, U, p = self._front_kernel(F, NC, eps)
-            npert = npert + p
-            NR = NF - NC
-            upds.append(U.reshape(S, B, NR, NR))
-            loc_factors.append(tuple(
-                x.reshape((S, B) + x.shape[1:]) for x in fac))
-
-        # cross reduction: local roots' updates -> replicated contributions
+    def _cross_body(self, bufs, upds):
+        """Local subtree roots' updates -> replicated cross contributions
+        (one mesh-wide reduction), padded with the zero slot."""
+        dt = self.dtype
+        S = self.S
         cross = jnp.zeros((S, self.CROSS), dt)
         for lc, srcb, co, nrv in self.cross_maps:
             U = upds[lc]
@@ -882,8 +1015,30 @@ class DeviceMF:
             cross = jax.vmap(lambda c, d, vv: c.at[d.reshape(-1)].add(
                 vv.reshape(-1), mode="drop"))(cross, dst, u)
         crossr = jnp.sum(cross, axis=0)  # all-reduce over the mesh axis
-        crossp = jnp.concatenate([crossr, jnp.zeros(1, dt)])  # zero slot
+        return jnp.concatenate([crossr, jnp.zeros(1, dt)])  # zero slot
 
+    def _factor_impl(self, bufs, Avals, eps):
+        dt = self.dtype
+        Av = jnp.concatenate([Avals.astype(dt), jnp.zeros(1, dt)])
+        upds = []          # per local level: (S, B, NR, NR)
+        loc_factors = []
+        npert = jnp.zeros((), jnp.int32)
+
+        for m in self.local_levels:
+            fac, U, p = self._local_level_body(m, bufs, Av, upds, eps)
+            npert = npert + p
+            upds.append(U)
+            loc_factors.append(fac)
+
+        crossp = self._cross_body(bufs, upds)
+
+        top_factors, ptop = self._top_body(bufs, Av, crossp, eps)
+        return loc_factors, top_factors, npert + ptop
+
+    def _top_body(self, bufs, Av, crossp, eps):
+        """Replicated top-tree factorization (small dense levels)."""
+        dt = self.dtype
+        npert = jnp.zeros((), jnp.int32)
         tupds = []
         top_factors = []
         for m in self.top_levels:
@@ -910,7 +1065,8 @@ class DeviceMF:
             else:
                 for lc, srcb, dstb, psl in m.ea:
                     u = tupds[lc][bufs[srcb]]  # (C, NR, NR)
-                    dst = ea_dst(bufs[dstb], bufs[psl], NF, B * NF * NF)
+                    dst = _ea_dst_flat(bufs[dstb], bufs[psl], NF,
+                                       B * NF * NF)
                     F = F.at[dst.reshape(-1)].add(u.reshape(-1), mode="drop")
                 for co, nrv, dstb, psl, NRX in m.ea_cross:
                     ii = jax.lax.broadcasted_iota(jnp.int32, (NRX, NRX), 0)
@@ -920,7 +1076,8 @@ class DeviceMF:
                     sidx = jnp.where((ii < nre) & (jj < nre), sidx,
                                      self.CROSS)
                     vals_c = crossp[sidx]  # (C, NRX, NRX); invalid -> 0
-                    dst = ea_dst(bufs[dstb], bufs[psl], NF, B * NF * NF)
+                    dst = _ea_dst_flat(bufs[dstb], bufs[psl], NF,
+                                       B * NF * NF)
                     F = F.at[dst.reshape(-1)].add(vals_c.reshape(-1),
                                                   mode="drop")
                 F = F.reshape(B, NF, NF)
@@ -929,7 +1086,7 @@ class DeviceMF:
             NR = NF - NC
             tupds.append(U.reshape(B, NR, NR))
             top_factors.append(fac)
-        return loc_factors, top_factors, npert
+        return top_factors, npert
 
     # ------------------------------------------------------------------
     # solve (one jit; RHS (n, k) replicated on device)
@@ -1084,6 +1241,9 @@ class DeviceMF:
 
     # ------------------------------------------------------------------
     def factor(self, Avals, eps):
+        if self._staged:
+            return self._factor_staged(jnp.asarray(Avals),
+                                       jnp.asarray(eps, self.dtype))
         return self._factor_jit(self._bufs, jnp.asarray(Avals),
                                 jnp.asarray(eps, self.dtype))
 

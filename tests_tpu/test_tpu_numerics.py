@@ -334,14 +334,19 @@ def test_dia_tier_perf_floor(be1):
 
     @jax.jit
     def chain(v):
-        return jax.lax.fori_loop(0, 32, lambda i, w: step(w), v)
+        return jax.lax.fori_loop(0, 64, lambda i, w: step(w), v)
 
     y = chain(xv.data)
     float(jnp.sum(y))                                 # compile + warm
     t0 = time.perf_counter()
     y = chain(xv.data)
     float(jnp.sum(y))
-    t = (time.perf_counter() - t0) / 32
+    t1 = time.perf_counter()
+    float(jnp.sum(xv.data))                           # relay RTT probe
+    rtt = time.perf_counter() - t1
+    # one readback RTT (1-30 ms session to session) rides on the chain;
+    # subtract it or a bad relay window fails a healthy kernel
+    t = max((t1 - t0) - rtt, (t1 - t0) / 2) / 64
     gbs = (O * n + 2 * n) * 4 / t / 1e9
     assert gbs > 50, f"DIA tier regressed: {gbs:.0f} GB/s"
 
@@ -357,12 +362,19 @@ def test_device_factor_perf_ceiling(be1):
     k = 512
     A = laplace2d(k).astype(np.float32)
     Ad = hl.DistSparseMatrix.from_scipy(A, be1, dtype=np.float32)
+    import jax.numpy as jnp
+
     F = DeviceFactorization(Ad, kind="chol", dtype=np.float32)
+    t1 = time.perf_counter()
+    float(jnp.sum(F.factors[2]))  # relay RTT probe (readback of a scalar)
+    rtt = time.perf_counter() - t1
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        F._numeric(Ad)
-        best = min(best, time.perf_counter() - t0)
+        F._numeric(Ad)  # syncs internally (int() on the perturbation count)
+        # one relay RTT rides on that sync — subtract it or a bad relay
+        # window (1-30 ms, session to session) fails a healthy factor
+        best = min(best, time.perf_counter() - t0 - rtt)
     assert best < 0.35, f"2D 262k steady refactor regressed: {best*1e3:.0f} ms"
     b = np.random.default_rng(5).standard_normal(k * k).astype(np.float32)
     bd = hl.DistVector.from_global(b, be1, dtype=np.float32)
