@@ -237,15 +237,19 @@ def _solve_lower(L, B, unit, prec):
     forward substitution)."""
     n = L.shape[-1]
     if n <= _TRSM_LEAF:
-        rows = []
+        # in-place row updates on the (batch, n, k) buffer — NOT
+        # jnp.stack of row vectors: stack's expanded singleton axis lands
+        # minor-most in the temps' layout and pads to 128 lanes (measured
+        # f32[5677,1,106] -> 310 MB, a 135x expansion, OOMing the compile)
+        X = B
         for i in range(n):
-            acc = B[..., i, :]
+            acc = X[..., i, :]
             for j in range(i):
-                acc = acc - L[..., i, j, None] * rows[j]
+                acc = acc - L[..., i, j, None] * X[..., j, :]
             if not unit:
                 acc = acc / L[..., i, i, None]
-            rows.append(acc)
-        return jnp.stack(rows, axis=-2)
+            X = X.at[..., i, :].set(acc)
+        return X
     m = n // 2
     X1 = _solve_lower(L[..., :m, :m], B[..., :m, :], unit, prec)
     B2 = B[..., m:, :] - jnp.matmul(L[..., m:, :m], X1, precision=prec)
@@ -285,7 +289,13 @@ def _tri(a, b, **kw):
     # also the faster formulation
     if (a.shape[-1] <= _TRSM_SMALL_N and batch >= _TRSM_MIN_BATCH
             and not kw.get("conjugate_a", False)):
-        return _tri_small(a, b, **kw)
+        # flatten batch dims to ONE: a singleton interior batch axis would
+        # otherwise land minor-most in the leaf row temps' layout and pad
+        # to 128 lanes (measured f32[5677,1,106] -> 310 MB, a 135x
+        # expansion that OOMed the 1M-dof stage compile)
+        x = _tri_small(a.reshape((batch,) + a.shape[-2:]),
+                       b.reshape((batch,) + b.shape[-2:]), **kw)
+        return x.reshape(b.shape)
     return jax.lax.linalg.triangular_solve(a, b, **kw)
 
 
