@@ -63,6 +63,29 @@ def _amortized_ms(fn, sync, K=32):
     return float(max(total - rtt, total / (K + 1)) / K * 1e3)
 
 
+def _slope_dispatch_ms(fn, sync, N1=8, N2=40, rounds=3):
+    """Per-dispatch time by TWO-POINT SLOPE: time N1 and N2 back-to-back
+    dispatches (one trailing sync each) and divide the difference by
+    N2-N1. Constant costs — the trailing readback RTT, queue ramp-up —
+    cancel exactly; min-over-rounds kills relay jitter. This is the
+    honest EAGER-mode number (per-call dispatch overhead included)."""
+    sync(fn())  # warm/compile
+
+    def run(N):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(N):
+            out = fn()
+        sync(out)
+        return time.perf_counter() - t0
+
+    t1s, t2s = [], []
+    for _ in range(rounds):
+        t1s.append(run(N1))
+        t2s.append(run(N2))
+    return float((min(t2s) - min(t1s)) / (N2 - N1) * 1e3)
+
+
 def main():
     import jax
 
@@ -111,18 +134,32 @@ def main():
     resid = np.linalg.norm(A @ x.to_numpy() - bh) / np.linalg.norm(bh)
     assert resid < 1e-5, f"solve inaccurate: {resid}"
 
-    def _chain_ms(step, x0, K):
-        """Per-op time with K applications chained INSIDE one jit: exactly
-        one dispatch + one readback, immune to relay-RTT variance."""
-        chain = jax.jit(lambda y: jax.lax.fori_loop(
-            0, K, lambda i, v: step(v), y))
-        sync(chain(x0))  # compile + warm
-        t0 = time.perf_counter()
-        sync(chain(x0))
-        t1 = time.perf_counter()
-        sync(x0)
-        rtt = time.perf_counter() - t1
-        return float(max((t1 - t0) - rtt, (t1 - t0) / 2) / K * 1e3)
+    def _chain_ms(step, x0, K=None, K1=64, K2=576, rounds=3):
+        """Per-op time for an in-jit chained loop by TWO-POINT SLOPE:
+        time K1- and K2-iteration fori_loop chains and divide the
+        difference by K2-K1. The relay RTT (1-30 ms, varying minute to
+        minute) rides on BOTH as a constant and cancels exactly — a
+        subtract-one-probe scheme (rounds 1-2) mismeasured sub-ms
+        kernels by up to the full RTT. ``K`` kept for signature compat.
+
+        This is the COMPILED-LOOP regime (iterative solvers jit their
+        SpMV loop): loop-invariant operands XLA can keep in VMEM are
+        read from HBM once, not per iteration."""
+        def mk(Kn):
+            return jax.jit(lambda y: jax.lax.fori_loop(
+                0, Kn, lambda i, v: step(v), y))
+        c1, c2 = mk(K1), mk(K2)
+        sync(c1(x0))
+        sync(c2(x0))
+        t1s, t2s = [], []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            sync(c1(x0))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            sync(c2(x0))
+            t2s.append(time.perf_counter() - t0)
+        return float((min(t2s) - min(t1s)) / (K2 - K1) * 1e3)
 
     # ---- SpMV, stencil pattern (DIA engine), n=1M ------------------------
     n1 = 1_000_000
@@ -138,17 +175,18 @@ def main():
                                           pallas_available)
 
     if pallas_available(be, Asd.structure.Lrow):
-        # the deployed tier at 1M rows (gate: 2^19)
+        # the deployed tier at 1M rows
         fnp, npadp = _pallas_dia_fn(plan.offsets, Asd.structure.Lrow,
                                     int(xs.data.shape[1]))
-        tblp = dia_table_padded(Asd, plan, npadp)
-        t = _chain_ms(lambda v: fnp(tblp, v) * 0.125, xs.data, K=64)
+        tblp = dia_table_padded(Asd, plan, npadp) * 0.125  # prescaled:
+        # keeps the chain iterates bounded with no extra scale op
+        t = _chain_ms(lambda v: fnp(tblp, v), xs.data)
         extras["spmv_stencil_engine"] = "pallas"
     else:
-        dval = _dia_values(Asd, plan)
+        dval = _dia_values(Asd, plan) * 0.125
         ex = _dia_exec(plan.offsets, Asd.structure.Lrow, plan.bias_lo,
                        plan.bias_hi, pad_to=plan.exchange.out_pad)
-        t = _chain_ms(lambda v: ex(dval, v) * 0.125, xs.data, K=64)
+        t = _chain_ms(lambda v: ex(dval, v), xs.data)
         extras["spmv_stencil_engine"] = "xla"
     O = len(plan.offsets)
     traffic = (O * n1 + 2 * n1) * 4  # one pass over dia table + x + y
@@ -179,8 +217,8 @@ def main():
         # Amortized-dispatch timing (NOT an in-jit chain: the engine's
         # ~280 MB device tables would embed as HLO constants).
         extras["spmv_random_engine"] = "shuffle"
-        tr = _amortized_ms(lambda: shuffle_spmv(Ard, rplan, xs.data),
-                           sync, K=16)
+        tr = _slope_dispatch_ms(lambda: shuffle_spmv(Ard, rplan, xs.data),
+                                sync)
     else:
         extras["spmv_random_engine"] = "ell"
         tr = _chain_ms(lambda v: _ell_apply(
@@ -195,7 +233,7 @@ def main():
         kB = 64
         Bw = jnp.asarray(rng.standard_normal((n1, kB)), jnp.float32)[None]
         tsm = _chain_ms(lambda v: _ell_apply(Ard, rplan, v, spmm=True)
-                        * 0.125, Bw, K=4)
+                        * 0.125, Bw, K1=2, K2=6)
         extras["spmm_random_1m_k64_ms"] = round(tsm, 3)
         extras["spmm_random_gelems_s"] = round(
             Ar.nnz * kB / (tsm / 1e3) / 1e9, 2)
@@ -218,8 +256,8 @@ def main():
         if pallas_available(A4d.backend, A4d.structure.Lrow) and p4.offsets:
             L4 = int(x4.data.shape[1])
             fn4, npad4 = _pallas_dia_fn(p4.offsets, A4d.structure.Lrow, L4)
-            tbl4 = dia_table_padded(A4d, p4, npad4)
-            t4 = _chain_ms(lambda v: fn4(tbl4, v) * 0.125, x4.data, K=64)
+            tbl4 = dia_table_padded(A4d, p4, npad4) * 0.125
+            t4 = _chain_ms(lambda v: fn4(tbl4, v), x4.data)
             g4 = (len(p4.offsets) * n4 + 2 * n4) * 4 / (t4 / 1e3) / 1e9
             extras["spmv_pallas_4m_ms"] = round(t4, 3)
             extras["spmv_pallas_gbs"] = round(g4, 1)
@@ -248,7 +286,7 @@ def main():
     # ---- SpGEMM A*A, n=10k stencil (DIA tier) ----------------------------
     Af = hl.DistSparseMatrix.from_scipy(laplace2d(100, np.float32), be,
                                         dtype=np.float32)
-    tg = _amortized_ms(lambda: Af @ Af, sync)
+    tg = _slope_dispatch_ms(lambda: Af @ Af, sync)
     extras["spgemm_laplace10k_ms"] = round(tg, 3)
 
     # ---- distributed device multifrontal vs host, n=262k SPD ------------
@@ -277,7 +315,8 @@ def main():
         with _warnings.catch_warnings():
             _warnings.simplefilter("ignore", UserWarning)  # refine=0 is
             # deliberate here: measuring the raw triangular sweep
-            ts_ = _amortized_ms(lambda: Fd.solve(b2, refine=0), sync, K=4)
+            ts_ = _slope_dispatch_ms(lambda: Fd.solve(b2, refine=0), sync,
+                                     N1=2, N2=10)
         extras["device_solve_262k_ms"] = round(ts_, 1)
     except Exception as e:  # keep the headline robust
         extras["device_factor_error"] = str(e)[:200]
