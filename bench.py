@@ -240,12 +240,11 @@ def main():
     except Exception as e:
         extras["spmm_random_error"] = str(e)[:200]
 
-    # ---- SpMV via the Pallas DIA kernel, n=4M (its policy regime) --------
+    # ---- SpMV at 4M: HBM-resident regime (table exceeds VMEM) -----------
+    # At 1M the chained loop holds the 24 MB dia table VMEM-resident (the
+    # compiled-loop regime of iterative solvers); at 4M the 112 MB working
+    # set forces HBM traffic every iteration — the streaming number.
     try:
-        from hpclinalg.ops.pallas_dia import (_pallas_dia_fn,
-                                              dia_table_padded,
-                                              pallas_available)
-
         n4 = 4_000_000
         A4 = laplace2d(2000, np.float32)
         A4d = hl.DistSparseMatrix.from_scipy(A4, be, dtype=np.float32)
@@ -253,17 +252,17 @@ def main():
             np.random.default_rng(4).standard_normal(n4), be,
             dtype=np.float32)
         p4 = get_spmv_plan(A4d, x4)
-        if pallas_available(A4d.backend, A4d.structure.Lrow) and p4.offsets:
-            L4 = int(x4.data.shape[1])
-            fn4, npad4 = _pallas_dia_fn(p4.offsets, A4d.structure.Lrow, L4)
-            tbl4 = dia_table_padded(A4d, p4, npad4) * 0.125
-            t4 = _chain_ms(lambda v: fn4(tbl4, v), x4.data)
+        if p4.offsets:
+            dval4 = _dia_values(A4d, p4) * 0.125
+            ex4 = _dia_exec(p4.offsets, A4d.structure.Lrow, p4.bias_lo,
+                            p4.bias_hi, pad_to=p4.exchange.out_pad)
+            t4 = _chain_ms(lambda v: ex4(dval4, v), x4.data, K1=32, K2=288)
             g4 = (len(p4.offsets) * n4 + 2 * n4) * 4 / (t4 / 1e3) / 1e9
-            extras["spmv_pallas_4m_ms"] = round(t4, 3)
-            extras["spmv_pallas_gbs"] = round(g4, 1)
-            extras["spmv_pallas_hbm_frac"] = round(g4 / HBM_PEAK_GBS, 3)
+            extras["spmv_stencil_4m_ms"] = round(t4, 3)
+            extras["spmv_stencil_4m_gbs"] = round(g4, 1)
+            extras["spmv_stencil_4m_hbm_frac"] = round(g4 / HBM_PEAK_GBS, 3)
     except Exception as e:
-        extras["spmv_pallas_error"] = str(e)[:200]
+        extras["spmv_4m_error"] = str(e)[:200]
 
     # ---- multi-shard strong scaling (virtual CPU mesh, subprocess) ------
     try:

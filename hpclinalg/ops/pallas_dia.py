@@ -1,21 +1,31 @@
-"""Pallas TPU kernel for the DIA/stencil SpMV engine.
+"""Pallas TPU kernel for the DIA/stencil SpMV engine — NOT deployed.
 
-The XLA DIA path re-reads the x vector once per diagonal offset (measured
-marginal bandwidth ~166 GB/s on v5e); this kernel DMAs each row tile's x
-window into VMEM once and performs the O shifted FMAs in-register, bringing
-traffic down to one pass over (dval, x, y) — near HBM speed-of-light.
-Measured: 4M-dof Laplacian SpMV 1.54 ms vs 2.34 ms for the XLA path
-(both include the ~1.4 ms relay dispatch floor; the kernel itself is
-~0.1-0.2 ms).
+Slope-timed head-to-head on v5e (two-point chained-loop slopes, which
+cancel the relay RTT; tools/probe_dia_kernels.py, round 3):
 
-Multi-shard meshes wrap the same kernel as the per-shard body inside
-shard_map (the gathered halo buffer is already per-shard); the XLA DIA
-path remains the portable engine. ``interpret=True`` (CPU) backs the
-automated correctness lane in tests.
+  n=4M 5-pt Laplacian:  XLA DIA 342 us | this kernel 396 us | best
+    redesign (flat rank-1 table, manual double-buffered DMA, x read
+    once) 333 us | pure table-stream roofline 214 us (450 GB/s — the
+    DMA-engine ceiling for this pattern; 2 concurrent DMAs measure the
+    same 448 GB/s)
+  n=1M chained (the compiled-loop regime of iterative solvers): XLA
+    74 us | this kernel 134 us — XLA keeps the loop-invariant dia table
+    VMEM-resident across chain iterations; an explicit-DMA kernel
+    re-reads it from HBM every call by construction.
+
+Conclusion: the XLA DIA engine wins at every measured size in both
+regimes, so it is THE deployed stencil tier and this kernel is gated
+off (HPCLINALG_PALLAS_DIA=1 re-enables it for experiments). Earlier
+rounds' numbers claiming the opposite came from a subtract-one-RTT-probe
+timing scheme that mismeasured sub-ms kernels by up to the full relay
+round trip — see bench.py's slope methodology notes.
+
+``interpret=True`` (CPU) backs the automated correctness lane in tests.
 """
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -26,17 +36,19 @@ from jax.sharding import PartitionSpec as P
 from ..backend import AXIS
 
 TR = 131072  # rows per tile: multiple of 128, sized for ~7 MB of VMEM
-# below this per-shard row count the XLA DIA path wins (its dispatch is
-# lighter and everything is dominated by the per-call floor anyway)
+# minimum per-shard rows for the kernel's tiling to make sense when it is
+# explicitly enabled
 MIN_ROWS = 1 << 19
 
 
 def pallas_available(backend, Lrow: int = MIN_ROWS) -> bool:
-    """The kernel is TPU Mosaic: gate on an actual TPU platform ('gpu'
-    would dispatch pltpu and fail to compile). It computes in float32 —
-    callers must additionally check the OPERAND result dtype is f32 (the
-    library matvec does; see ops/spmv.py) so f64/bf16 inputs keep the XLA
-    path's result_type dtype."""
+    """False unless explicitly enabled: the XLA DIA engine measures
+    faster at every size (module docstring). With HPCLINALG_PALLAS_DIA=1,
+    gates on an actual TPU platform ('gpu' would dispatch pltpu and fail
+    to compile) and f32 operands (callers check the result dtype; see
+    ops/spmv.py)."""
+    if not os.environ.get("HPCLINALG_PALLAS_DIA"):
+        return False
     try:
         platform = backend.mesh.devices.flat[0].platform
     except Exception:

@@ -215,17 +215,25 @@ def test_shuffle_engine_spmv(be1):
     y = Ad @ xv
     yref = A @ x
     assert _rel(y.to_numpy(), yref) < F32TOL
-    # perf floor: >= 1 Gelem/s steady-state (XLA path is ~0.1)
-    N = 16
+    # perf floor: >= 700 Melem/s steady-state (XLA scatter path is ~100).
+    # Dispatch-count slope: constants (trailing readback RTT, ramp-up)
+    # cancel between the two run lengths.
     float(jnp.sum((Ad @ xv).data))
-    t0 = time.perf_counter()
-    for _ in range(N):
-        y = Ad @ xv
-    float(jnp.sum(y.data))
-    t1 = time.perf_counter()
-    float(jnp.sum(xv.data))
-    rtt = time.perf_counter() - t1
-    ms = max((t1 - t0) - rtt, (t1 - t0) / 2) / N * 1e3
+
+    def run(N):
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(N):
+            y = Ad @ xv
+        float(jnp.sum(y.data))
+        return time.perf_counter() - t0
+
+    N1, N2 = 6, 22
+    t1s, t2s = [], []
+    for _ in range(3):
+        t1s.append(run(N1))
+        t2s.append(run(N2))
+    ms = (min(t2s) - min(t1s)) / (N2 - N1) * 1e3
     rate = A.nnz / (ms / 1e3) / 1e6   # M elem/s
     assert rate > 700, f"shuffle SpMV regressed: {rate:.0f} M elem/s"
 
@@ -299,18 +307,17 @@ def test_complex_helmholtz_device_solve(be1):
 
 
 def test_dia_tier_perf_floor(be1):
-    """Perf floor for the stencil/DIA tier (VERDICT r2 weak #10): an
-    in-jit 32x chain of the deployed kernel must beat 50 GB/s effective on
-    the 1M-dof 2D Laplacian — a silent regression to the scatter path
-    (~5 GB/s) fails loudly. One dispatch + one readback: immune to the
-    relay RTT."""
+    """Perf floor for the stencil/DIA tier (VERDICT r2 weak #10): the
+    deployed engine (XLA DIA — measured faster than the Pallas kernel at
+    every size, see pallas_dia.py docstring) must beat 100 GB/s-equivalent
+    on a chained 1M-dof 2D Laplacian — a silent regression to the scatter
+    path (~5 GB/s) fails loudly. Two-point slope timing: the relay RTT
+    rides on both chain lengths as a constant and cancels exactly."""
     import time
 
     import jax
     import jax.numpy as jnp
 
-    from hpclinalg.ops.pallas_dia import (_pallas_dia_fn, dia_table_padded,
-                                          pallas_available)
     from hpclinalg.ops.spmv import _dia_exec, _dia_values, get_spmv_plan
 
     n = 1_000_000
@@ -321,34 +328,29 @@ def test_dia_tier_perf_floor(be1):
     plan = get_spmv_plan(Ad, xv)
     assert plan.offsets is not None, "1M stencil must ride the DIA tier"
     O = len(plan.offsets)
-    if pallas_available(be1, Ad.structure.Lrow):
-        fn, npad = _pallas_dia_fn(plan.offsets, Ad.structure.Lrow,
-                                  int(xv.data.shape[1]))
-        tbl = dia_table_padded(Ad, plan, npad)
-        step = lambda v: fn(tbl, v) * 0.125           # noqa: E731
-    else:
-        dval = _dia_values(Ad, plan)
-        ex = _dia_exec(plan.offsets, Ad.structure.Lrow, plan.bias_lo,
-                       plan.bias_hi, pad_to=plan.exchange.out_pad)
-        step = lambda v: ex(dval, v) * 0.125          # noqa: E731
+    dval = _dia_values(Ad, plan) * 0.125
+    ex = _dia_exec(plan.offsets, Ad.structure.Lrow, plan.bias_lo,
+                   plan.bias_hi, pad_to=plan.exchange.out_pad)
 
-    @jax.jit
-    def chain(v):
-        return jax.lax.fori_loop(0, 64, lambda i, w: step(w), v)
+    def mk(K):
+        return jax.jit(lambda v: jax.lax.fori_loop(
+            0, K, lambda i, w: ex(dval, w), v))
 
-    y = chain(xv.data)
-    float(jnp.sum(y))                                 # compile + warm
-    t0 = time.perf_counter()
-    y = chain(xv.data)
-    float(jnp.sum(y))
-    t1 = time.perf_counter()
-    float(jnp.sum(xv.data))                           # relay RTT probe
-    rtt = time.perf_counter() - t1
-    # one readback RTT (1-30 ms session to session) rides on the chain;
-    # subtract it or a bad relay window fails a healthy kernel
-    t = max((t1 - t0) - rtt, (t1 - t0) / 2) / 64
+    K1, K2 = 64, 576
+    c1, c2 = mk(K1), mk(K2)
+    float(jnp.sum(c1(xv.data)))
+    float(jnp.sum(c2(xv.data)))
+    t1s, t2s = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(c1(xv.data)))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(jnp.sum(c2(xv.data)))
+        t2s.append(time.perf_counter() - t0)
+    t = (min(t2s) - min(t1s)) / (K2 - K1)
     gbs = (O * n + 2 * n) * 4 / t / 1e9
-    assert gbs > 50, f"DIA tier regressed: {gbs:.0f} GB/s"
+    assert gbs > 100, f"DIA tier regressed: {gbs:.0f} GB/s"
 
 
 def test_device_factor_perf_ceiling(be1):

@@ -298,5 +298,131 @@ def main():
     print(f"v4 vs xla rel err: {err:.2e}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--ring" not in sys.argv:
     main()
+
+
+def ring_probe():
+    """v5: dval stream with a DEPTH-3 buffer ring and 2 outstanding DMAs
+    — does concurrent DMA lift the 450 GB/s single-stream ceiling?"""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import time
+    import hpclinalg as hl
+    from hpclinalg.ops.pallas_dia import TR, dia_table_padded, _pallas_dia_fn
+    from hpclinalg.ops.spmv import get_spmv_plan
+    import scipy.sparse as sp
+
+    def lap2d(k):
+        T = sp.diags([-1., 2., -1.], [-1, 0, 1], shape=(k, k))
+        I = sp.eye(k)
+        return (sp.kron(I, T) + sp.kron(T, I)).tocsr().astype(np.float32)
+
+    def slope_ms(step, x0, K1=64, K2=576, rounds=3):
+        def mk(K):
+            return jax.jit(lambda v: jax.lax.fori_loop(
+                0, K, lambda i, y: step(y), v))
+        c1, c2 = mk(K1), mk(K2)
+        float(jnp.sum(c1(x0)))
+        float(jnp.sum(c2(x0)))
+        t1s, t2s = [], []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            float(jnp.sum(c1(x0)))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(jnp.sum(c2(x0)))
+            t2s.append(time.perf_counter() - t0)
+        return (min(t2s) - min(t1s)) / (K2 - K1) * 1e3
+
+    k = 2000
+    n = k * k
+    be = hl.backend_auto(dtype=np.float64)
+    A = lap2d(k)
+    Ad = hl.DistSparseMatrix.from_scipy(A, be, dtype=np.float32)
+    x = hl.DistVector.from_global(
+        np.random.default_rng(1).standard_normal(n), be, dtype=np.float32)
+    plan = get_spmv_plan(Ad, x)
+    O = len(plan.offsets)
+    ntiles = -(-Ad.structure.Lrow // TR)
+    npad = ntiles * TR
+    fn0, npad0 = _pallas_dia_fn(plan.offsets, Ad.structure.Lrow,
+                                int(x.data.shape[1]))
+    tbl = dia_table_padded(Ad, plan, npad0) * 0.125
+    tbl1 = tbl[0]
+    dflat = jnp.asarray(np.ascontiguousarray(
+        np.asarray(tbl1).reshape(O, ntiles, TR).transpose(1, 0, 2)
+        ).reshape(-1))
+    CH = O * TR
+    H = CH // 2  # two concurrent half-DMAs per chunk
+
+    def kern5(df_ref, c_ref, y_ref, dv0, dv1, s0a, s0b, s1a, s1b):
+        i = pl.program_id(0)
+
+        def start(j, buf, sa, sb):
+            pltpu.make_async_copy(
+                df_ref.at[pl.ds(j * CH, H)], buf.at[pl.ds(0, H)],
+                sa).start()
+            pltpu.make_async_copy(
+                df_ref.at[pl.ds(j * CH + H, H)], buf.at[pl.ds(H, H)],
+                sb).start()
+
+        def wait(j, buf, sa, sb):
+            pltpu.make_async_copy(
+                df_ref.at[pl.ds(j * CH, H)], buf.at[pl.ds(0, H)],
+                sa).wait()
+            pltpu.make_async_copy(
+                df_ref.at[pl.ds(j * CH + H, H)], buf.at[pl.ds(H, H)],
+                sb).wait()
+
+        def compute(dv):
+            acc = jnp.full((TR,), c_ref[0], jnp.float32)
+            for t in range(O):
+                acc = acc + dv[pl.ds(t * TR, TR)]
+            y_ref[:] = acc
+
+        @pl.when(i == 0)
+        def _():
+            start(0, dv0, s0a, s0b)
+
+        @pl.when(i % 2 == 0)
+        def _():
+            @pl.when(i + 1 < ntiles)
+            def _():
+                start(i + 1, dv1, s1a, s1b)
+            wait(i, dv0, s0a, s0b)
+            compute(dv0)
+
+        @pl.when(i % 2 == 1)
+        def _():
+            @pl.when(i + 1 < ntiles)
+            def _():
+                start(i + 1, dv0, s0a, s0b)
+            wait(i, dv1, s1a, s1b)
+            compute(dv1)
+
+    p5 = pl.pallas_call(
+        kern5,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TR,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad,), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((CH,), jnp.float32),
+                        pltpu.VMEM((CH,), jnp.float32),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA])
+    t5 = slope_ms(lambda v: p5(dflat, v[0, :1] * 1e-9)[None][:, :n], x.data)
+    print(f"v5_ring3   {t5*1e3:.1f} us  "
+          f"{(O+1)*n*4/(t5/1e3)/1e9:.0f} GB/s actual", flush=True)
+
+
+if __name__ == "__main__" and "--ring" in sys.argv:
+    ring_probe()
+    sys.exit(0)
