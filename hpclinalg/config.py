@@ -49,8 +49,99 @@ def enable_compile_cache(path: str | None = None,
     if path is None:
         path = (f"/tmp/hpclinalg_xla_cache_{jax.default_backend()}"
                 f"_{_machine_fingerprint()}")
+    _make_cache_writes_atomic()
+    _sweep_corrupt_entries(path)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
+
+
+def _make_cache_writes_atomic() -> None:
+    """Patch the JAX disk-cache writer to write-temp-then-rename.
+
+    Upstream ``LRUCache.put`` uses a bare ``write_bytes``; a run interrupted
+    mid-write leaves a truncated zstd frame that every later process trips
+    over ('ZstdError: did not decompress full frame' on each compile).
+    ``os.replace`` within the same directory is atomic on POSIX, so readers
+    only ever see complete entries."""
+    import os
+    import uuid
+
+    try:
+        from jax._src.lru_cache import (_ATIME_SUFFIX, _CACHE_SUFFIX,
+                                        LRUCache)
+    except ImportError:  # cache layout moved; fall back to upstream writer
+        return
+    if getattr(LRUCache, "_hpclinalg_atomic", False):
+        return
+
+    def atomic_put(self, key, val):
+        import time
+        import warnings
+
+        if not key:
+            raise ValueError("key cannot be empty")
+        if self.eviction_enabled and len(val) > self.max_size:
+            warnings.warn(
+                f"Cache value for key {key!r} of size {len(val)} bytes "
+                f"exceeds the maximum cache size of {self.max_size} bytes")
+            return
+        cache_path = self.path / f"{key}{_CACHE_SUFFIX}"
+        if self.eviction_enabled:
+            self.lock.acquire(timeout=self.lock_timeout_secs)
+        try:
+            if cache_path.exists():
+                return
+            self._evict_if_needed(additional_size=len(val))
+            tmp_path = self.path / f".{key}.{uuid.uuid4().hex[:8]}.tmp"
+            tmp_path.write_bytes(val)
+            os.replace(tmp_path, cache_path)
+            if self.eviction_enabled:
+                timestamp = time.time_ns().to_bytes(8, "little")
+                (self.path / f"{key}{_ATIME_SUFFIX}").write_bytes(timestamp)
+        finally:
+            if self.eviction_enabled:
+                self.lock.release()
+
+    LRUCache.put = atomic_put
+    LRUCache._hpclinalg_atomic = True
+
+
+def _sweep_corrupt_entries(path: str) -> None:
+    """Delete persisted cache entries whose zstd frame does not decompress
+    fully (truncated by an interrupted writer before atomic writes landed).
+    One-shot at enable time; cost is a decompress pass over the dir."""
+    import os
+
+    if not os.path.isdir(path):
+        return
+    try:
+        import zstandard
+    except ImportError:
+        return
+    dctx = zstandard.ZstdDecompressor()
+    for name in os.listdir(path):
+        if not name.endswith("-cache") and not name.endswith(".tmp"):
+            continue
+        full = os.path.join(path, name)
+        if name.endswith(".tmp"):  # abandoned staging file
+            try:
+                os.unlink(full)
+            except OSError:
+                pass
+            continue
+        try:
+            with open(full, "rb") as f:
+                data = f.read()
+            if data[:4] == b"\x28\xb5\x2f\xfd":  # zstd magic
+                dobj = dctx.decompressobj()
+                dobj.decompress(data)
+                if not dobj.eof:
+                    raise ValueError("truncated zstd frame")
+        except Exception:
+            try:
+                os.unlink(full)
+            except OSError:
+                pass
 
 
 def _machine_fingerprint() -> str:

@@ -115,6 +115,13 @@ class LazyTranspose:
             return LazyTranspose(self.parent - o.parent)
         return self.materialize() - o
 
+    def __radd__(self, o):
+        # o + Aᵀ where o's own __add__ punted (e.g. dense + lazy-sparse)
+        return o + self.materialize()
+
+    def __rsub__(self, o):
+        return o - self.materialize()
+
     def to_numpy(self):
         mat = self.parent
         if hasattr(mat, "to_scipy"):

@@ -380,15 +380,21 @@ class DistSparseMatrix:
         return NotImplemented
 
     def __add__(self, o):
+        from .lazy import LazyTranspose
         from .ops import addition
 
+        if isinstance(o, LazyTranspose):
+            o = o.materialize()  # A + Bᵀ (ref sparse.jl:1405 via transpose)
         if isinstance(o, DistSparseMatrix):
             return addition.add(self, o, 1, 1)
         return NotImplemented
 
     def __sub__(self, o):
+        from .lazy import LazyTranspose
         from .ops import addition
 
+        if isinstance(o, LazyTranspose):
+            o = o.materialize()
         if isinstance(o, DistSparseMatrix):
             return addition.add(self, o, 1, -1)
         return NotImplemented

@@ -154,3 +154,22 @@ def test_lazy_of_lazy_and_matvec(cfg):
     x = _vals(dtype, 8)
     xv = hl.DistVector.from_global(x, be, dtype=dtype)
     assert_close((Cd.T @ xv).to_numpy(), C.T @ x, dtype)
+
+
+def test_add_sub_with_lazy_transpose(cfg):
+    """A ± transpose(A) in every operand order materializes and matches the
+    oracle (ref: + over mismatched patterns, sparse.jl:1405 + transpose)."""
+    be, dtype = cfg
+    C = _ref_C(dtype)  # 8x6
+    S = (C @ C.T).tocsr()  # square, unsymmetric pattern usage below
+    Sd = hl.DistSparseMatrix.from_scipy(S, be, dtype=dtype)
+    for got, want in [
+        (Sd + Sd.T, S + S.T),
+        (Sd - Sd.T, S - S.T),
+        (Sd.T + Sd, S.T + S),
+        (Sd.T - Sd, S.T - S),
+        ((Sd.T + Sd.T).materialize(), S.T + S.T),
+    ]:
+        assert_close(got.to_scipy().toarray(), np.asarray(want.todense()),
+                     dtype)
+        assert_padding_zero(got)
