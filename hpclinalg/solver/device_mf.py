@@ -223,13 +223,31 @@ def _clamp(d, eps):
 # fronts — over the 16 MB scoped limit, a hard COMPILE error (hit at 2D
 # 10^6 dof with relax=64 amalgamation; the workspace is size-class-, not
 # batch-dependent: chunking the batch reproduced the identical overflow).
-# Small fronts therefore ride a hand-rolled recursive block substitution:
+# For those shapes a hand-rolled recursive block substitution exists:
 # pure batched MXU matmuls + an unrolled leaf, no custom call, no scoped
-# workspace. Large fronts (top dense levels, small batches) keep the
-# custom call, where it is the right tool.
-_TRSM_SMALL_N = 128
-_TRSM_MIN_BATCH = 256
-_TRSM_LEAF = 8
+# workspace. But the custom call is FASTER where it compiles (measured 2D
+# 262k f32 chol on v5e: 191.7 ms factor with the custom call vs 303 ms
+# with the substitution — the r3 regression). Policy: custom call is the
+# default everywhere; each DeviceMF retraces with the substitution ONLY
+# after its own compile hits the scoped-VMEM wall (see DeviceMF.factor).
+import os as _os
+
+_TRSM_SMALL_N = int(_os.environ.get("HPCLINALG_TRSM_SMALL_N", 128))
+_TRSM_MIN_BATCH = int(_os.environ.get("HPCLINALG_TRSM_MIN_BATCH", 256))
+_TRSM_LEAF = int(_os.environ.get("HPCLINALG_TRSM_LEAF", 8))
+# "" = auto (custom call first, per-engine fallback on scoped-VMEM compile
+# OOM); "1" = always substitution on eligible shapes; "0" = never
+_TRSM_POLICY = _os.environ.get("HPCLINALG_TRSM_SMALL", "")
+# trace-time switch: set by DeviceMF around each jit invocation so the
+# engine that hit the wall retraces with substitution while other engines
+# in the same process keep the fast custom call
+_TRSM_FORCE_SMALL = _TRSM_POLICY == "1"
+
+
+def _is_compile_oom(e) -> bool:
+    s = str(e).lower()
+    return ("scoped" in s or "vmem" in s or "resource_exhausted" in s
+            or "out of memory" in s)
 
 
 def _solve_lower(L, B, unit, prec):
@@ -283,11 +301,11 @@ def _tri(a, b, **kw):
     batch = 1
     for s in a.shape[:-2]:
         batch *= int(s)
-    # probed on v5e: (B=64, n=81) and (B=823, n>=96) compile fine; the
-    # 17.45 MB workspace appears only for large batches of small
-    # non-aligned fronts — exactly where batched-MXU substitution is
-    # also the faster formulation
-    if (a.shape[-1] <= _TRSM_SMALL_N and batch >= _TRSM_MIN_BATCH
+    # substitution only under the fallback/forced policy AND on the shape
+    # class where the custom call's scoped workspace can overflow (large
+    # batches of small fronts) — everywhere else the custom call wins
+    if (_TRSM_FORCE_SMALL and _TRSM_POLICY != "0"
+            and a.shape[-1] <= _TRSM_SMALL_N and batch >= _TRSM_MIN_BATCH
             and not kw.get("conjugate_a", False)):
         # flatten batch dims to ONE: a singleton interior batch axis would
         # otherwise land minor-most in the leaf row temps' layout and pad
@@ -428,12 +446,19 @@ class DeviceMF:
         # intensity, 2D-stencil-class) trees: merge harder — explicit-zero
         # flops are cheap on the MXU, scatter elements and wave levels are
         # not (measured n=262k 2D: 665 -> 553 ms steady). Flop-dominated 3D
-        # trees (high flops/lnz) keep the lean host setting. analyze_best
-        # additionally tries nested dissection in this regime (balanced
-        # separator tree, ~half the flops on 2D grids).
+        # trees (high flops/lnz) keep the lean host setting.
+        #
+        # Ordering stays AMD here even though analyze_best prefers nested
+        # dissection on these patterns for the HOST engine. Measured on-chip
+        # at 2D 262k f32 chol (tools/ab_ordering_device.py, v5e): AMD
+        # factor 303 ms / solve 109 ms vs ND 446 / 133 — ND's host metrics
+        # (flops 11.2G vs 21.6G, lnz 17.5M vs 20.3M, padded front flops
+        # 22.5G vs 50G) ALL favor it, yet it is 47% slower: the device
+        # factor is bound by extend-add table traffic and supernode count
+        # (ND: 51k fronts vs 35.7k, +20% EA scatter elements), not flops.
         if sym.lnz and sym.flops / sym.lnz < 3000:
-            sym = symbolic.analyze_best(A_csr, relax=64, zeros_frac=0.5,
-                                        small=64)
+            sym = symbolic.analyze(A_csr, perm, relax=64, zeros_frac=0.5,
+                                   small=64)
         self.sym = sym
         ns = sym.nsuper
         ptr, rows_of = sym.snode_ptr, sym.snode_rows
@@ -852,9 +877,8 @@ class DeviceMF:
                     recv[d][d] = np.concatenate([recv[d][d], tlocs[mm]])
         self.out_plan = ExchangePlan(backend, send, recv, padded_size(rp))
 
-        self._factor_jit = jax.jit(self._factor_impl)
-        self._solve_jit = jax.jit(self._solve_impl,
-                                  static_argnums=(4,))
+        self._trsm_small = _TRSM_FORCE_SMALL
+        self._reset_jits()
 
         # -- fused vs staged factor execution --------------------------------
         # The single-jit factor gives XLA the whole level program (best
@@ -875,6 +899,39 @@ class DeviceMF:
                                  str(10 << 30)))
         self._staged = est > cap
         self._stage_jits: dict = {}
+
+    # ------------------------------------------------------------------
+    def _reset_jits(self):
+        """Fresh jit wrappers (forces a retrace, e.g. after a TRSM-policy
+        flip)."""
+        self._factor_jit = jax.jit(self._factor_impl)
+        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(4,))
+        self._stage_jits = {}
+
+    def _with_trsm(self, fn, *args):
+        """Run fn with the module TRSM switch set to this engine's policy
+        for the duration (the switch is read at trace time only)."""
+        global _TRSM_FORCE_SMALL
+        old = _TRSM_FORCE_SMALL
+        _TRSM_FORCE_SMALL = self._trsm_small
+        try:
+            return fn(*args)
+        finally:
+            _TRSM_FORCE_SMALL = old
+
+    def _run_oom_guarded(self, fn, *args):
+        """Invoke a jitted path; if the compile hits the scoped-VMEM wall
+        of the triangular_solve custom call (or any compile OOM), retrace
+        this engine with the substitution TRSM and retry once."""
+        try:
+            return self._with_trsm(fn, *args)
+        except Exception as e:  # noqa: BLE001 — filtered below
+            if (self._trsm_small or _TRSM_POLICY == "0"
+                    or not _is_compile_oom(e)):
+                raise
+            self._trsm_small = True
+            self._reset_jits()
+            return self._with_trsm(fn, *args)
 
     # ------------------------------------------------------------------
     def _stage(self, l):
@@ -1251,11 +1308,12 @@ class DeviceMF:
 
     # ------------------------------------------------------------------
     def factor(self, Avals, eps):
+        Av = jnp.asarray(Avals)
+        ep = jnp.asarray(eps, self.dtype)
         if self._staged:
-            return self._factor_staged(jnp.asarray(Avals),
-                                       jnp.asarray(eps, self.dtype))
-        return self._factor_jit(self._bufs, jnp.asarray(Avals),
-                                jnp.asarray(eps, self.dtype))
+            return self._run_oom_guarded(self._factor_staged, Av, ep)
+        return self._run_oom_guarded(
+            lambda a, e: self._factor_jit(self._bufs, a, e), Av, ep)
 
     def solve_dist(self, factors, bstacked, transpose: bool = False):
         """Row-distributed solve: bstacked (S, Lrow[, k]) on
@@ -1280,7 +1338,8 @@ class DeviceMF:
         bloc = self.in_plan.apply(b.astype(self.dtype))
         # chol/ldl are symmetric: transpose == plain solve
         tr = bool(transpose) and self.kind == "lu"
-        xloc = self._solve_jit(self._bufs, loc, top, bloc, tr)
+        xloc = self._run_oom_guarded(
+            lambda *a: self._solve_jit(self._bufs, *a), loc, top, bloc, tr)
         x = self.out_plan.apply(xloc)
         if kb != k:
             x = x[:, :, :k]
