@@ -25,6 +25,11 @@ from .partition import uniform_partition
 from .vector import DistVector
 from .sparse import DistSparseMatrix
 from .dense import DistDenseMatrix
+from .cplx import (
+    ComplexDistSparseMatrix,
+    ComplexDistVector,
+    ComplexFactorization,
+)
 from .lazy import LazyTranspose
 from .ops.repartition import repartition_dense, repartition_vector
 from .ops.sparse_build import spdiagm, speye, sprand_dist, spzeros
@@ -53,6 +58,7 @@ __all__ = [
     "enable_compile_cache",
     "partition_hash", "sparse_structural_hash", "dense_structural_hash",
     "uniform_partition", "DistVector", "DistSparseMatrix", "DistDenseMatrix",
+    "ComplexDistVector", "ComplexDistSparseMatrix", "ComplexFactorization",
     "LazyTranspose", "repartition_vector", "repartition_dense",
     "spdiagm", "speye", "sprand_dist", "spzeros", "blockdiag", "cat",
     "cat_sparse", "hcat_sparse", "vcat_sparse", "cat_dense", "hcat_dense",

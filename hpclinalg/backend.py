@@ -63,15 +63,18 @@ class Backend:
 
     def check_dtype(self, dtype) -> None:
         """Raise early (with guidance) for dtypes the platform cannot hold —
-        the runtime's own failure is a cryptic device_put UNIMPLEMENTED."""
+        the runtime's own failure is a cryptic device_put UNIMPLEMENTED.
+        (Container constructors route complex dtypes to the split-plane
+        containers in cplx.py before reaching this check; hitting it means
+        a raw complex device array was requested directly.)"""
         if np.issubdtype(np.dtype(dtype), np.complexfloating) \
                 and not self.complex_capable:
             raise NotImplementedError(
-                "this TPU runtime cannot represent complex dtypes; use "
-                "solver.ComplexDeviceFactorization (realified 2n form) for "
-                "complex solves/SpMV on chip, or a CPU-mesh backend "
-                "(backend_auto(platform='cpu')) for full complex container "
-                "support")
+                "this TPU runtime cannot represent complex dtypes as raw "
+                "device arrays; complex containers are provided by the "
+                "split-plane classes in hpclinalg.cplx (constructors "
+                "DistVector.from_global / DistSparseMatrix.from_scipy "
+                "return them automatically for complex inputs)")
 
     def row_sharding(self, extra_dims: int = 0) -> NamedSharding:
         """Sharding for stacked-shard arrays (S, local, ...): axis 0 over rows."""
@@ -83,6 +86,20 @@ class Backend:
     def with_dtype(self, dtype) -> "Backend":
         """Ref: retype_backend (backends.jl:482)."""
         return replace(self, dtype=dtype)
+
+
+def resolve_dtype(backend: Backend, src_dtype, dtype) -> np.dtype:
+    """Allocation dtype for container constructors: an explicit ``dtype``
+    wins; otherwise the backend default, promoted to complex when the
+    SOURCE data is complex — a complex input must never silently drop its
+    imaginary part by landing in the backend's real default dtype."""
+    if dtype is not None:
+        return np.dtype(dtype)
+    dt = np.dtype(backend.dtype)
+    if np.issubdtype(np.dtype(src_dtype), np.complexfloating) \
+            and not np.issubdtype(dt, np.complexfloating):
+        dt = np.result_type(src_dtype, dt)
+    return dt
 
 
 def backends_compatible(a: Backend, b: Backend) -> bool:

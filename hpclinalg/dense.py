@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .backend import Backend
+from .backend import Backend, resolve_dtype
 from .hashing import dense_structural_hash, partition_hash
 from .parallel.mesh import allgather_full, gather_to_host
 from .partition import (
@@ -77,7 +77,7 @@ class DistDenseMatrix:
               else uniform_partition(m, backend.nshards))
         L = padded_size(rp)
         S = nshards_of(rp)
-        out = np.zeros((S, L, n), dtype=dtype or backend.dtype)
+        out = np.zeros((S, L, n), dtype=resolve_dtype(backend, arr.dtype, dtype))
         for s in range(S):
             out[s, : rp[s + 1] - rp[s]] = arr[rp[s]: rp[s + 1]]
         return DistDenseMatrix(jax.device_put(out, backend.row_sharding(1)),
@@ -91,7 +91,8 @@ class DistDenseMatrix:
         n = shards[0].shape[1]
         rp = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
         L = padded_size(rp)
-        out = np.zeros((len(shards), L, n), dtype=dtype or backend.dtype)
+        out = np.zeros((len(shards), L, n),
+                       dtype=resolve_dtype(backend, np.result_type(*shards), dtype))
         for s, blk in enumerate(shards):
             out[s, : sizes[s]] = blk
         return DistDenseMatrix(jax.device_put(out, backend.row_sharding(1)),

@@ -309,6 +309,13 @@ def ldlt(A, method: str | None = None, spd: bool = False):
     cuDSS-MGMN analogue, CUDAExt:602-710) — indefinite systems use the
     blocked unpivoted LDL kernel; ``spd=True`` opts into the faster
     Cholesky kernel."""
+    from ..cplx import ComplexDistSparseMatrix, ldlt_complex
+
+    if isinstance(A, ComplexDistSparseMatrix):
+        # split-plane complex containers factor the realified 2n system
+        # through the SAME dispatch as real (ref complex A \\ b,
+        # mumps_factorization.jl:242-353)
+        return ldlt_complex(A, method=method)
     if A.m != A.ncols:
         raise ValueError("ldlt requires a square matrix")
     if _resolve_method(A, method) == "device":
@@ -326,6 +333,10 @@ def lu(A, method: str | None = None):
     symmetrized pattern with static pivoting + refinement. ``method=
     "device"`` (or ``solver="device"`` backends) runs the distributed
     device multifrontal LU."""
+    from ..cplx import ComplexDistSparseMatrix, lu_complex
+
+    if isinstance(A, ComplexDistSparseMatrix):
+        return lu_complex(A, method=method)
     if A.m != A.ncols:
         raise ValueError("lu requires a square matrix")
     if _resolve_method(A, method) == "device":
@@ -404,12 +415,41 @@ class BackslashCache:
         return F.solve(b, transpose=transpose)
 
 
+def _solve_complex(A, b, symmetric: bool | None = None):
+    """Backslash for split-plane complex containers: cached realified
+    factorization with refactorize-only value hits (same discipline as
+    BackslashCache; ref HPCLinearAlgebra.jl:643-744)."""
+    from ..cplx import ComplexFactorization
+
+    if symmetric is None:
+        symmetric = A.issymmetric()
+    kind = "ldl" if symmetric else "lu"
+    key = (A.hash, "cplx", kind, A.backend.key)
+    c = plan_cache("backslash")
+    F = c.get(key)
+    if F is None:
+        F = ComplexFactorization(A, kind=kind)
+        c[key] = F
+        F._vals_ref = (A.re.nzval, A.im.nzval)
+    elif F._vals_ref[0] is not A.re.nzval \
+            or F._vals_ref[1] is not A.im.nzval:
+        F.refactorize(A)
+        F._vals_ref = (A.re.nzval, A.im.nzval)
+    return F.solve(b)
+
+
 def solve(A, b, symmetric: bool | None = None):
     """``A \\ b`` (ref: Base.:\\, HPCLinearAlgebra.jl:674). Wrapping A in
     hl.Symmetric asserts symmetry; a LazyTranspose solves the transposed
     system (ref: transpose/adjoint solve, test_factorization.jl)."""
+    from ..cplx import ComplexDistSparseMatrix
     from ..lazy import LazyTranspose
 
+    inner = A.A if isinstance(A, Symmetric) else A
+    if isinstance(inner, ComplexDistSparseMatrix):
+        return _solve_complex(inner, b,
+                              symmetric=(True if isinstance(A, Symmetric)
+                                         else symmetric))
     if isinstance(A, Symmetric):
         return BackslashCache.solve(A.A, b, symmetric=True)
     if isinstance(A, LazyTranspose):

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-from .backend import Backend
+from .backend import Backend, resolve_dtype
 from .config import round_up
 from .hashing import DIGEST_SIZE, _h, partition_hash
 from .partition import (
@@ -202,9 +202,18 @@ class DistSparseMatrix:
     def from_scipy(A, backend: Backend, row_partition=None, col_partition=None,
                    dtype=None) -> "DistSparseMatrix":
         """Build from a replicated scipy sparse matrix — each shard slices its
-        rows (ref global ctor, sparse.jl:398-409)."""
+        rows (ref global ctor, sparse.jl:398-409). Complex input on a
+        complex-incapable platform returns the split-plane
+        ComplexDistSparseMatrix (cplx.py) transparently."""
         A = sp.csr_matrix(A)
         A.sort_indices()
+        if np.issubdtype(np.dtype(dtype or A.dtype), np.complexfloating) \
+                and not backend.complex_capable:
+            from .cplx import ComplexDistSparseMatrix
+
+            return ComplexDistSparseMatrix.from_scipy(
+                A, backend, row_partition=row_partition,
+                col_partition=col_partition, dtype=dtype)
         backend.check_dtype(dtype or A.dtype)
         m, n = A.shape
         rp = (validate_partition(row_partition, m) if row_partition is not None
@@ -217,7 +226,8 @@ class DistSparseMatrix:
             vals.append(loc.data)
         st = _structure_from_local_csr(parts, n, backend, col_partition)
         # parts were sliced by rp, so the cumsum row partition equals rp
-        nz = _pad_stack_nzval(vals, st.NNZpad, dtype or backend.dtype)
+        nz = _pad_stack_nzval(vals, st.NNZpad,
+                              resolve_dtype(backend, A.dtype, dtype))
         return DistSparseMatrix(st, jax.device_put(nz, backend.row_sharding()), backend)
 
     @staticmethod
@@ -229,13 +239,19 @@ class DistSparseMatrix:
         struct_parts = [(ip, gj) for (ip, gj, _v) in parts]
         st = _structure_from_local_csr(struct_parts, ncols, backend, col_partition)
         nz = _pad_stack_nzval([np.asarray(v) for (_i, _j, v) in parts],
-                              st.NNZpad, dtype or backend.dtype)
+                              st.NNZpad,
+                              resolve_dtype(backend,
+                                            np.result_type(*(v for _, _, v in parts)),
+                                            dtype))
         return DistSparseMatrix(st, jax.device_put(nz, backend.row_sharding()), backend)
 
     @staticmethod
     def from_structure(st: SparseStructure, nzval_parts: list[np.ndarray],
                        dtype=None) -> "DistSparseMatrix":
-        nz = _pad_stack_nzval(nzval_parts, st.NNZpad, dtype or st.backend.dtype)
+        nz = _pad_stack_nzval(nzval_parts, st.NNZpad,
+                              resolve_dtype(st.backend,
+                                            np.result_type(*nzval_parts) if nzval_parts else st.backend.dtype,
+                                            dtype))
         return DistSparseMatrix(st, jax.device_put(nz, st.backend.row_sharding()),
                                 st.backend)
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .backend import Backend, backends_compatible
+from .backend import Backend, backends_compatible, resolve_dtype
 from .cache import cached_plan
 from .hashing import partition_hash
 from .partition import (
@@ -101,14 +101,23 @@ class DistVector:
     @staticmethod
     def from_global(arr, backend: Backend, partition: np.ndarray | None = None,
                     dtype=None) -> "DistVector":
-        """Build from a replicated full array (ref global ctor, vectors.jl:119)."""
+        """Build from a replicated full array (ref global ctor, vectors.jl:119).
+        Complex input on a complex-incapable platform returns the
+        split-plane ComplexDistVector (cplx.py) transparently."""
         arr = np.asarray(arr)
+        if np.issubdtype(np.dtype(dtype or arr.dtype), np.complexfloating) \
+                and not backend.complex_capable:
+            from .cplx import ComplexDistVector
+
+            return ComplexDistVector.from_global(arr, backend,
+                                                 partition=partition,
+                                                 dtype=dtype)
         backend.check_dtype(dtype or arr.dtype)
         n = arr.shape[0]
         p = validate_partition(partition, n) if partition is not None else uniform_partition(n, backend.nshards)
         L = padded_size(p)
         S = nshards_of(p)
-        out = np.zeros((S, L), dtype=dtype or backend.dtype)
+        out = np.zeros((S, L), dtype=resolve_dtype(backend, arr.dtype, dtype))
         sizes = partition_sizes(p)
         for s in range(S):
             out[s, : sizes[s]] = arr[p[s]: p[s + 1]]
@@ -121,7 +130,8 @@ class DistVector:
         sizes = [int(np.asarray(s).shape[0]) for s in shards]
         p = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
         L = padded_size(p)
-        out = np.zeros((len(shards), L), dtype=dtype or backend.dtype)
+        out = np.zeros((len(shards), L),
+                       dtype=resolve_dtype(backend, np.result_type(*shards), dtype))
         for s, v in enumerate(shards):
             out[s, : sizes[s]] = np.asarray(v)
         return DistVector(jax.device_put(out, backend.row_sharding()), p, backend)
