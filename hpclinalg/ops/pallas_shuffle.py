@@ -85,119 +85,96 @@ class PackedRoute:
     @classmethod
     def from_native(cls, src_of: np.ndarray, nsrc: int, force_RAu: int = 0,
                     force_RBu: int = 0, pad_n_sc: int = 0,
-                    pad_nsub: int = 0) -> "PackedRoute":
+                    pad_nsub: int = 0, force_KA: int = 0,
+                    force_KB1: int = 0, force_KB2: int = 0) -> "PackedRoute":
         """Build the packed tables through the C++ router (native/route.cpp
         — the same algorithm as shuffle_router.build_route as fused passes
-        over radix-sorted streams; ~10x the numpy build). Returns None if
-        the native library is unavailable. force_*/pad_* impose a common
-        geometry across shards so per-shard tables stack for shard_map."""
+        over radix-sorted streams; ~10x the numpy build). The router also
+        performs the CG-table packing (route_export_packed) and reports
+        ADAPTIVE live bank counts (KAe/KB1e/KB2e <= the static budgets), so
+        Python only allocates and uploads — no hundreds-of-MB numpy
+        intermediates (the old _pack_cg pass measured 15 s at 8M
+        emissions). Returns None if the native library is unavailable.
+        force_*/pad_* impose a common geometry across shards so per-shard
+        tables stack for shard_map (packing bakes tile counts into
+        selector codes, so the common geometry must be known at build
+        time)."""
         from ..solver.native import build_native_lib
         import ctypes
 
         lib = build_native_lib("hpcroute", "route.cpp")
-        if lib is None:
+        if lib is None or not hasattr(lib, "route_export_packed"):
             return None
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
         if not getattr(lib, "_route_sigs", False):
             lib.route_build.restype = ctypes.c_void_p
             lib.route_build.argtypes = [ctypes.c_int64, ctypes.c_int64,
-                                        i64p, i64p, ctypes.c_int64,
-                                        ctypes.c_int64]
-            lib.route_export.restype = None
+                                        i64p, i64p] + [ctypes.c_int64] * 7
+            lib.route_export_packed.restype = None
             lib.route_free.argtypes = [ctypes.c_void_p]
             lib._route_sigs = True
         src_of = np.ascontiguousarray(src_of, np.int64)
         geom = np.zeros(16, np.int64)
         h = lib.route_build(len(src_of), int(nsrc), src_of, geom,
-                            int(force_RAu), int(force_RBu))
+                            int(force_RAu), int(force_RBu), int(pad_n_sc),
+                            int(pad_nsub), int(force_KA), int(force_KB1),
+                            int(force_KB2))
         try:
-            (ne, T1, n_sc, C2, gamma, cpg, RAu, nsub, RBu,
-             nspill) = (int(v) for v in geom[:10])
-            # np.empty: route_export memcpy's every byte of each table
+            (ne, T1, n_sc, C2, gamma, cpg, RAu, nsub, RBu, nspill,
+             KAe, KB1e, KB2e) = (int(v) for v in geom[:13])
+            PA = _ceil(SC, LANES)
+            PB = _ceil(SUB, LANES)
+            PS = _ceil(nsub * RBu, LANES)
+            TP_A = _ceil(gamma * RAu, LANES)
+            TP_B = _ceil(cpg * RBu, LANES)
+            # np.empty: route_export_packed writes every byte of each table
             win = np.empty(n_sc, np.int32)
             win_rel = np.empty(T1, np.int8)
-            M = np.empty((T1 // SC, SC, LANES), np.int8)
-            SA = np.empty((n_sc, KA, SC, LANES), np.int8)
-            A_brow = np.empty((n_sc, gamma * RAu, LANES), np.int16)
-            A_bank = np.empty((n_sc, gamma * RAu, LANES), np.uint8)
-            S1 = np.empty((gamma, KB1, nsub * SUB, LANES), np.int8)
-            B1_brow = np.empty((gamma, nsub, cpg * RBu, LANES), np.int16)
-            B1_bank = np.empty((gamma, nsub, cpg * RBu, LANES), np.uint8)
-            S2 = np.empty((gamma, cpg, KB2, nsub * RBu, LANES), np.int8)
-            B2_brow = np.empty((gamma, cpg, LANES, LANES), np.int16)
-            B2_bank = np.empty((gamma, cpg, LANES, LANES), np.uint8)
+            M = np.empty((n_sc, SC, LANES), np.int8)
+            SA = np.empty((n_sc, KAe, SC, LANES), np.int8)
+            A_rel = np.empty((n_sc, TP_A, LANES, LANES), np.int8)
+            A_sel = np.empty((n_sc, TP_A, LANES, LANES), np.uint8)
+            S1 = np.empty((gamma, KB1e, nsub * SUB, LANES), np.int8)
+            B1_rel = np.empty((gamma, nsub, TP_B, LANES, LANES), np.int8)
+            B1_sel = np.empty((gamma, nsub, TP_B, LANES, LANES), np.uint8)
+            S2 = np.empty((gamma, cpg, KB2e, nsub * RBu, LANES), np.int8)
+            B2_rel = np.empty((gamma, cpg, LANES, LANES), np.int8)
+            B2_sel = np.empty((gamma, cpg, LANES, LANES), np.uint8)
+            live = np.zeros(3 * 256, np.uint8)
             spill_dst = np.empty(nspill, np.int64)
             spill_src = np.empty(nspill, np.int64)
-            args = [win, win_rel, M, SA, A_brow, A_bank, S1, B1_brow,
-                    B1_bank, S2, B2_brow, B2_bank, spill_dst, spill_src]
-            lib.route_export(ctypes.c_void_p(h), *[
+            args = [win, win_rel, M, SA, A_rel, A_sel, S1, B1_rel, B1_sel,
+                    S2, B2_rel, B2_sel, live, spill_dst, spill_src]
+            lib.route_export_packed(ctypes.c_void_p(h), *[
                 a.ctypes.data_as(ctypes.c_void_p) for a in args])
         finally:
             lib.route_free(ctypes.c_void_p(h))
 
         self = cls.__new__(cls)
         self.plan = _PlanStub(int(nsrc), C2 * DCH, spill_dst, spill_src)
-        # common-geometry padding: sc dim so nsub*SUB == n_sc_pad*RAu
-        # (B1's block select), nsub to the stacking target
-        nsub_tgt = max(pad_nsub, nsub,
-                       _ceil(max(pad_n_sc, n_sc) * RAu, SUB))
-        n_sc_pad = nsub_tgt * SUB // RAu
-        if nsub_tgt > nsub:
-            S1 = np.pad(S1, ((0, 0), (0, 0),
-                             (0, (nsub_tgt - nsub) * SUB), (0, 0)))
-            B1_brow = np.pad(B1_brow, ((0, 0), (0, nsub_tgt - nsub),
-                                       (0, 0), (0, 0)))
-            B1_bank = np.pad(B1_bank, ((0, 0), (0, nsub_tgt - nsub),
-                                       (0, 0), (0, 0)),
-                             constant_values=255)
-            S2 = np.pad(S2, ((0, 0), (0, 0), (0, 0),
-                             (0, (nsub_tgt - nsub) * RBu), (0, 0)))
-            nsub = nsub_tgt
-        self.n_sc, self.gamma, self.cpg = n_sc_pad, gamma, cpg
+        self.n_sc, self.gamma, self.cpg = n_sc, gamma, cpg
         self.RAu, self.nsub, self.RBu = RAu, nsub, RBu
+        self.KAe, self.KB1e, self.KB2e = KAe, KB1e, KB2e
         self.SCG = SUB // RAu
-        self.PA = _ceil(SC, LANES)
-
-        def padsc(a):
-            if n_sc_pad == n_sc:
-                return a
-            pad = [(0, n_sc_pad - n_sc)] + [(0, 0)] * (a.ndim - 1)
-            return np.pad(a, pad, constant_values=255
-                          if a.dtype == np.uint8 else 0)
-
-        self.win = jnp.asarray(padsc(win))
-        self.win_rel = jnp.asarray(padsc(
-            win_rel.reshape(T1 // SC, self.PA, LANES)))
-        self.M = jnp.asarray(padsc(M))
-        self.SA = jnp.asarray(padsc(SA))
-        rel, sel, live, self.TP_A = _pack_cg(
-            padsc(A_brow).astype(np.int32), padsc(A_bank), KA, self.PA)
-        self.A_rel, self.A_sel, self.A_live = (jnp.asarray(rel),
-                                               jnp.asarray(sel), live)
-        self.TP_B = _ceil(cpg * RBu, LANES)
-        self.PB = _ceil(SUB, LANES)
-        rel1, sel1, live1, _ = _pack_cg(
-            B1_brow.reshape(gamma * nsub, cpg * RBu, LANES).astype(np.int32),
-            B1_bank.reshape(gamma * nsub, cpg * RBu, LANES), KB1, self.PB)
-        self.S1 = jnp.asarray(S1)
-        self.B1_rel = jnp.asarray(
-            rel1.reshape(gamma, nsub, self.TP_B, LANES, LANES))
-        self.B1_sel = jnp.asarray(
-            sel1.reshape(gamma, nsub, self.TP_B, LANES, LANES))
-        self.B1_live = live1
+        self.PA, self.PB, self.PS = PA, PB, PS
+        self.TP_A, self.TP_B = TP_A, TP_B
         self.stage_rows = nsub * RBu
-        self.PS = _ceil(self.stage_rows, LANES)
-        stage_pad = self.PS * LANES
+        self.win = jnp.asarray(win)
+        self.win_rel = jnp.asarray(win_rel.reshape(n_sc, PA, LANES))
+        self.M = jnp.asarray(M)
+        self.SA = jnp.asarray(SA)
+        self.A_rel, self.A_sel = jnp.asarray(A_rel), jnp.asarray(A_sel)
+        self.A_live = [c for c in range(255) if live[c]]
+        stage_pad = PS * LANES
         if stage_pad > nsub * RBu:
             S2 = np.pad(S2, ((0, 0), (0, 0), (0, 0),
                              (0, stage_pad - nsub * RBu), (0, 0)))
-        rel2, sel2, live2, _ = _pack_cg(
-            B2_brow.reshape(gamma * cpg, CHROWS, LANES).astype(np.int32),
-            B2_bank.reshape(gamma * cpg, CHROWS, LANES), KB2, self.PS)
+        self.S1 = jnp.asarray(S1)
+        self.B1_rel, self.B1_sel = jnp.asarray(B1_rel), jnp.asarray(B1_sel)
+        self.B1_live = [c for c in range(255) if live[256 + c]]
         self.S2 = jnp.asarray(S2)
-        self.B2_rel = jnp.asarray(rel2.reshape(gamma, cpg, LANES, LANES))
-        self.B2_sel = jnp.asarray(sel2.reshape(gamma, cpg, LANES, LANES))
-        self.B2_live = live2
+        self.B2_rel, self.B2_sel = jnp.asarray(B2_rel), jnp.asarray(B2_sel)
+        self.B2_live = [c for c in range(255) if live[512 + c]]
         self.spill_src = jnp.asarray(spill_src.astype(np.int32)) \
             if nspill else None
         self.spill_dst = jnp.asarray(spill_dst.astype(np.int32)) \
@@ -230,9 +207,8 @@ class PackedRoute:
             plan.win_rel.reshape(n_sc_r, self.PA, LANES).astype(np.int8)))
         self.M = jnp.asarray(_padsc(
             plan.M.reshape(n_sc_r, SC, LANES).astype(np.int8)))
-        self.SA = jnp.asarray(_padsc(
-            plan.SA.reshape(KA, n_sc_r, SC, LANES).swapaxes(0, 1)
-            .astype(np.int8)))
+        SA_np = _padsc(plan.SA.reshape(KA, n_sc_r, SC, LANES).swapaxes(0, 1)
+                       .astype(np.int8))
 
         RAoff = np.concatenate([[0], np.cumsum(plan.RA)])
         self.TP_A = _ceil(gamma * RAu, LANES)
@@ -248,6 +224,9 @@ class PackedRoute:
         self.A_rel = jnp.asarray(rel)       # (n_sc, TP_A, 128, 128)
         self.A_sel = jnp.asarray(sel)
         self.A_live = live
+        # adaptive live bank counts (match the native path's table diet)
+        self.KAe = max((c // self.PA for c in live), default=0) + 1
+        self.SA = jnp.asarray(SA_np[:, : self.KAe])
 
         # ---- kernel B1 ----------------------------------------------------
         RBu = max(int(max(rb.max() for rb in plan.RB)) if gamma else 1, 1)
@@ -276,7 +255,8 @@ class PackedRoute:
             bank1.reshape(gamma * nsub, self.TP_B * LANES, LANES), KB1,
             _ceil(SUB, LANES))
         self.PB = _ceil(SUB, LANES)
-        self.S1 = jnp.asarray(S1)
+        self.KB1e = max((c // self.PB for c in live1), default=0) + 1
+        self.S1 = jnp.asarray(S1[:, : self.KB1e])
         self.B1_rel = jnp.asarray(
             rel1.reshape(gamma, nsub, self.TP_B, LANES, LANES))
         self.B1_sel = jnp.asarray(
@@ -307,7 +287,8 @@ class PackedRoute:
         rel2, sel2, live2, _T2 = _pack_cg(
             brow2.reshape(gamma * cpg, CHROWS, LANES),
             bank2.reshape(gamma * cpg, CHROWS, LANES), KB2, self.PS)
-        self.S2 = jnp.asarray(S2)
+        self.KB2e = max((c // self.PS for c in live2), default=0) + 1
+        self.S2 = jnp.asarray(S2[:, :, : self.KB2e])
         self.B2_rel = jnp.asarray(
             rel2.reshape(gamma, cpg, LANES, LANES))
         self.B2_sel = jnp.asarray(
@@ -339,13 +320,27 @@ def _i32(ref_val):
 @lru_cache(maxsize=None)
 def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
     """Builds the three jitted pallas calls for one geometry. key_shapes =
-    (n_sc, gamma, cpg, RAu, TP_A, nsub, RBu, TP_B, PS, nrow_x)."""
+    (n_sc, gamma, cpg, RAu, TP_A, nsub, RBu, TP_B, PS, nrow_x,
+    KAe, KB1e, KB2e) — the trailing three are the ADAPTIVE live bank
+    counts: tables carry only live banks and the kernels compute
+    per-(bank, tile) gathers ONLY for (k, p) pairs some selector code
+    references (the static budgets cost both table bytes and VPU issue
+    slots on dead banks)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    (n_sc, gamma, cpg, RAu, TP_A, nsub, RBu, TP_B, PS, nrow_x) = key_shapes
+    (n_sc, gamma, cpg, RAu, TP_A, nsub, RBu, TP_B, PS, nrow_x,
+     KAe, KB1e, KB2e) = key_shapes
     PA = _ceil(SC, LANES)
     SCG = SUB // RAu
+
+    def _need(live, P):
+        need: dict = {}
+        for code in live:
+            need.setdefault(code // P, set()).add(code % P)
+        return {k: sorted(ps) for k, ps in sorted(need.items())}
+
+    needA = _need(A_live, PA)
 
     # ---------------- kernel A -------------------------------------------
     def kern_a(win_ref, wr_ref, m_ref, sa_ref, rel_ref, sel_ref, xg_ref,
@@ -368,9 +363,9 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
         sa = _i32(sa_ref[...])
         cev = ce[...]
         tyv = {}
-        for k in range(KA):
+        for k, ps in needA.items():
             yk = jnp.take_along_axis(cev, sa[k], axis=1)
-            for p in range(PA):
+            for p in ps:
                 tyv[k, p] = yk[p * LANES:(p + 1) * LANES, :].T
         for t in range(TP_A):
             sel = _i32(sel_ref[t])
@@ -392,7 +387,7 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, SC, LANES), lambda sc, w: (sc, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, KA, SC, LANES),
+                pl.BlockSpec((1, KAe, SC, LANES),
                              lambda sc, w: (sc, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, TP_A, LANES, LANES),
@@ -431,13 +426,15 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
     # ---------------- kernel B1 ------------------------------------------
     PB = _ceil(SUB, LANES)
 
+    needB1 = _need(B1_live, PB)
+
     def kern_b1(s1_ref, rel_ref, sel_ref, bin_ref, out_ref):
         binv = bin_ref[...].reshape(SUB, LANES)
         s1 = _i32(s1_ref[...])
         tzv = {}
-        for k in range(KB1):
+        for k, ps in needB1.items():
             zk = jnp.take_along_axis(binv, s1[k], axis=1)
-            for p in range(PB):
+            for p in ps:
                 tzv[k, p] = zk[p * LANES:(p + 1) * LANES, :].T
         for t in range(TP_B):
             sel = _i32(sel_ref[t])
@@ -460,7 +457,7 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
             body,
             grid=(gamma, nsub),
             in_specs=[
-                pl.BlockSpec((1, KB1, SUB, LANES),
+                pl.BlockSpec((1, KB1e, SUB, LANES),
                              lambda g, sb: (g, 0, sb, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, TP_B, LANES, LANES),
@@ -485,15 +482,17 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
         )(s1, rel, sel, aout)
 
     # ---------------- kernel B2 ------------------------------------------
+    needB2 = _need(B2_live, PS)
+
     def kern_b2(s2_ref, rel_ref, sel_ref, stg_ref, out_ref):
         stg = stg_ref[...].reshape(nsub * RBu, LANES)
         if PS * LANES > nsub * RBu:
             stg = jnp.pad(stg, ((0, PS * LANES - nsub * RBu), (0, 0)))
         s2 = _i32(s2_ref[...])
         tzv = {}
-        for k in range(KB2):
+        for k, ps in needB2.items():
             zk = jnp.take_along_axis(stg, s2[k], axis=1)
-            for p in range(PS):
+            for p in ps:
                 tzv[k, p] = zk[p * LANES:(p + 1) * LANES, :].T
         sel = _i32(sel_ref[...])
         rel = _i32(rel_ref[...])
@@ -517,7 +516,7 @@ def _shuffle_fns(key_shapes, A_live, B1_live, B2_live, interpret=False):
             body,
             grid=(gamma, cpg),
             in_specs=[
-                pl.BlockSpec((1, 1, KB2, stage_pad, LANES),
+                pl.BlockSpec((1, 1, KB2e, stage_pad, LANES),
                              lambda g, d: (g, d, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, LANES, LANES),
@@ -553,7 +552,8 @@ def shuffle_apply(packed: PackedRoute, xg: jax.Array,
     plan = packed.plan
     nrow_x = _ceil(plan.nsrc, LANES) + LANES
     key = (packed.n_sc, packed.gamma, packed.cpg, packed.RAu, packed.TP_A,
-           packed.nsub, packed.RBu, packed.TP_B, packed.PS, nrow_x)
+           packed.nsub, packed.RBu, packed.TP_B, packed.PS, nrow_x,
+           packed.KAe, packed.KB1e, packed.KB2e)
     run_a, run_b1, run_b2 = _shuffle_fns(
         key, tuple(packed.A_live), tuple(packed.B1_live),
         tuple(packed.B2_live), interpret)
@@ -614,7 +614,10 @@ def build_spmv_shuffle(A, plan, xlen):
         halo buffer, which is already in compressed-column order."""
         W = plan.ell_W
         Lrow = st.Lrow
-        cols = np.asarray(plan.ell_cols).reshape(-1, Lrow, W)[s]
+        cols_all = getattr(plan, "ell_cols_np", None)
+        if cols_all is None:  # plans built before the host copy existed
+            cols_all = np.asarray(plan.ell_cols)
+        cols = cols_all.reshape(-1, Lrow, W)[s]
         # mark ELL padding slots dead: slots at/after each row's length
         lens = np.zeros(Lrow, np.int64)
         ip = st.indptr[s]
@@ -657,8 +660,9 @@ def build_spmv_shuffle(A, plan, xlen):
             route = build_route(src_bi, xlen)  # numpy fallback (oracle)
             return PackedRoute(route)
         # multi-shard: per-shard routes rebuilt under a COMMON geometry
-        # (max RAu/RBu/n_sc/nsub across shards) so the tables stack with a
-        # leading shard dim and the same kernels run inside shard_map
+        # (max RAu/RBu/n_sc/nsub/bank counts across shards) so the tables
+        # stack with a leading shard dim and the same kernels run inside
+        # shard_map
         srcs = [_shard_src(s, compose_ci=False) for s in range(S)]
         routes = [PackedRoute.from_native(srcs[s], xlen) for s in range(S)]
         if any(r is None for r in routes):
@@ -668,19 +672,49 @@ def build_spmv_shuffle(A, plan, xlen):
         RBu = max(r.RBu for r in routes)
         n_sc = max(r.n_sc for r in routes)
         nsub = max(_ceil(n_sc * RAu, SUB), *(r.nsub for r in routes))
+        KAe = max(r.KAe for r in routes)
+        KB1e = max(r.KB1e for r in routes)
+        KB2e = max(r.KB2e for r in routes)
         rebuilt = []
         for s in range(S):
             r = PackedRoute.from_native(srcs[s], xlen, force_RAu=RAu,
                                         force_RBu=RBu, pad_n_sc=n_sc,
-                                        pad_nsub=nsub)
+                                        pad_nsub=nsub, force_KA=KAe,
+                                        force_KB1=KB1e, force_KB2=KB2e)
             if r is None:
                 rp = build_route(srcs[s], xlen, force_RAu=RAu,
                                  force_RBu=RBu)
                 r = PackedRoute(rp, pad_n_sc=n_sc, pad_nsub=nsub)
             rebuilt.append(r)
+        if rebuilt[0].__class__ is PackedRoute and any(
+                (r.KAe, r.KB1e, r.KB2e) != (KAe, KB1e, KB2e)
+                for r in rebuilt):
+            _pad_banks(rebuilt, KAe, KB1e, KB2e)  # numpy-fallback stacks
         return _StackedRoutes(rebuilt)
 
     return cached_plan("spmv_shuffle", ("shuffle-bi", plan.key, xlen), build)
+
+
+def _pad_banks(routes, KAe, KB1e, KB2e):
+    """Pad numpy-fallback routes' bank dims to a common live count (dead
+    banks: zero tables, never referenced by any selector code)."""
+    for r in routes:
+        if r.KAe < KAe:
+            r.SA = jnp.asarray(np.pad(np.asarray(r.SA),
+                                      ((0, 0), (0, KAe - r.KAe),
+                                       (0, 0), (0, 0))))
+            r.KAe = KAe
+        if r.KB1e < KB1e:
+            r.S1 = jnp.asarray(np.pad(np.asarray(r.S1),
+                                      ((0, 0), (0, KB1e - r.KB1e),
+                                       (0, 0), (0, 0))))
+            r.KB1e = KB1e
+        if r.KB2e < KB2e:
+            r.S2 = jnp.asarray(np.pad(np.asarray(r.S2),
+                                      ((0, 0), (0, 0),
+                                       (0, KB2e - r.KB2e),
+                                       (0, 0), (0, 0))))
+            r.KB2e = KB2e
 
 
 class _StackedRoutes:
@@ -690,7 +724,8 @@ class _StackedRoutes:
     def __init__(self, routes):
         r0 = routes[0]
         for k in ("n_sc", "gamma", "cpg", "RAu", "nsub", "RBu", "TP_A",
-                  "TP_B", "PS", "PA", "PB", "SCG", "stage_rows"):
+                  "TP_B", "PS", "PA", "PB", "SCG", "stage_rows",
+                  "KAe", "KB1e", "KB2e"):
             vals = {getattr(r, k) for r in routes}
             assert len(vals) == 1, (k, vals)
             setattr(self, k, vals.pop())
@@ -736,7 +771,7 @@ def _spmv_pipeline(key_shapes, A_live, B1_live, B2_live, Lrow, W, Tpad,
     the kernel time through the remote relay)."""
     run_a, run_b1, run_b2 = _shuffle_fns(
         key_shapes, A_live, B1_live, B2_live, interpret)
-    nrow_x = key_shapes[-1]
+    nrow_x = key_shapes[9]  # (..., PS, nrow_x, KAe, KB1e, KB2e)
 
     nb = _ceil(Lrow, LANES)
 
@@ -796,7 +831,8 @@ def shuffle_spmv(A, plan, xb, interpret: bool = False):
     vrm = _ell_values_bi(A, plan, stacked=stacked)
     nrow_x = _ceil(packed.plan.nsrc, LANES) + LANES
     key = (packed.n_sc, packed.gamma, packed.cpg, packed.RAu, packed.TP_A,
-           packed.nsub, packed.RBu, packed.TP_B, packed.PS, nrow_x)
+           packed.nsub, packed.RBu, packed.TP_B, packed.PS, nrow_x,
+           packed.KAe, packed.KB1e, packed.KB2e)
     has_spill = packed.spill_dst is not None
     fn = _spmv_pipeline(
         key, tuple(packed.A_live), tuple(packed.B1_live),

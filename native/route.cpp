@@ -61,29 +61,66 @@ void radix_argsort(const std::vector<i64>& keys, std::vector<i64>& idx,
 
 struct Route {
     i64 ne, T1, n_sc, C2, gamma, cpg, RAu, nsub, RBu, nrows_bin;
+    i64 KAe, KB1e, KB2e;         // live bank counts (adaptive table diet)
     // pass A tables
     std::vector<i32> win;        // (n_sc)
     std::vector<i8> win_rel;     // (T1)
     std::vector<i8> M;           // (T1, 128)
-    std::vector<i8> SA;          // (n_sc, KA, SC, 128)
+    std::vector<i8> SA;          // (n_sc, KA, SC, 128); exported (.., KAe, ..)
     std::vector<i16> A_brow;     // (n_sc, gamma*RAu, 128)
     std::vector<u8> A_bank;      // (n_sc, gamma*RAu, 128)
     // pass B tables (uniform RBu stride)
-    std::vector<i8> S1;          // (gamma, KB1, nsub*SUB, 128)
+    std::vector<i8> S1;          // (gamma, KB1, nsub*SUB, 128); exp KB1e
     std::vector<i16> B1_brow;    // (gamma, nsub, cpg*RBu, 128)
     std::vector<u8> B1_bank;     // (gamma, nsub, cpg*RBu, 128)
-    std::vector<i8> S2;          // (gamma, cpg, KB2, nsub*RBu, 128)
+    std::vector<i8> S2;          // (gamma, cpg, KB2, nsub*RBu, 128); exp KB2e
     std::vector<i16> B2_brow;    // (gamma, cpg, 128, 128)
     std::vector<u8> B2_bank;     // (gamma, cpg, 128, 128)
     std::vector<i64> spill_dst, spill_src;
 };
 
+// Pack a (lead, rows, 128) (brow, bank) pair into the kernels' transposed
+// per-128-row-tile tables (the numpy _pack_cg, done here so Python never
+// touches the hundreds-of-MB intermediates — measured 15 s at 8M
+// emissions): rel[lead][t][lane][i] = brow[lead][t*128+i][lane] & 127,
+// sel = bank * P + (brow >> 7), 255 dead. Also collects the live codes.
+void pack_cg(const std::vector<i16>& brow, const std::vector<u8>& bank,
+             i64 lead, i64 rows, i64 P, i8* rel, u8* sel, u8* live) {
+    const i64 T = (rows + LANES - 1) / LANES;
+    for (i64 l = 0; l < lead; l++) {
+        const i16* br = brow.data() + l * rows * LANES;
+        const u8* bk = bank.data() + l * rows * LANES;
+        i8* rl = rel + l * T * LANES * LANES;
+        u8* sl = sel + l * T * LANES * LANES;
+        // rel must stay in [0, 127] even at dead slots: the kernels gather
+        // with it unconditionally and mask by sel afterwards
+        std::memset(rl, 0, T * LANES * LANES);
+        std::memset(sl, 255, T * LANES * LANES);
+        for (i64 r = 0; r < rows; r++) {
+            const i64 t = r >> 7, i = r & 127;
+            for (i64 j = 0; j < LANES; j++) {
+                const u8 b = bk[r * LANES + j];
+                if (b == 255) continue;
+                const i16 v = br[r * LANES + j];
+                const u8 code = (u8)(b * P + (v >> 7));
+                rl[(t * LANES + j) * LANES + i] = (i8)(v & 127);
+                sl[(t * LANES + j) * LANES + i] = code;
+                live[code] = 1;
+            }
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
 
+// pad_n_sc/pad_nsub/force_K*: multi-shard common geometry — the packed
+// tables bake tile counts (PS = ceil(nsub*RBu/128)) into selector codes,
+// so shard stacking must impose the common geometry BEFORE packing.
 void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
-                  i64 force_RAu, i64 force_RBu) {
+                  i64 force_RAu, i64 force_RBu, i64 pad_n_sc, i64 pad_nsub,
+                  i64 force_KA, i64 force_KB1, i64 force_KB2) {
     auto* R = new Route();
     const i64 C2 = std::max<i64>(1, (ndest + DCH - 1) / DCH);
     const i64 cpg = std::min<i64>(C2, 64);
@@ -117,9 +154,11 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
         }
         T1 = ne ? row + 1 : 1;
     }
+    // natural sizes; the FINAL n_sc is fixed only after RAu/nsub (the B1
+    // block-select invariant n_sc*RAu == nsub*SUB bakes into the packed
+    // selector codes), so pass-A table allocation is deferred
     const i64 n_sc = (T1 + SC - 1) / SC;
     T1 = n_sc * SC;
-    R->T1 = T1; R->n_sc = n_sc;
 
     // ---- per-sc slab base + window spill --------------------------------
     std::vector<i64> row_win(T1, 0);
@@ -128,8 +167,8 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
         row_win[e_row[i]] = e_src[i] / LANES;
         has_win[e_row[i]] = 1;
     }
-    R->win.assign(n_sc, 0);
-    R->win_rel.assign(T1, 0);
+    std::vector<i32> win_n(n_sc, 0);
+    std::vector<i8> win_rel_n(T1, 0);
     std::vector<u8> spilled(ne, 0);
     std::vector<u8> bad_row(T1, 0);
     for (i64 s = 0; s < n_sc; s++) {
@@ -137,19 +176,15 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
         for (i64 r = s * SC; r < (s + 1) * SC; r++)
             if (has_win[r] && (base < 0 || row_win[r] < base)) base = row_win[r];
         if (base < 0) base = 0;
-        R->win[s] = (i32)base;
+        win_n[s] = (i32)base;
         for (i64 r = s * SC; r < (s + 1) * SC; r++) {
             i64 rel = has_win[r] ? row_win[r] - base : 0;
             if (rel >= LANES) { bad_row[r] = 1; rel = 0; }
-            R->win_rel[r] = (i8)rel;
+            win_rel_n[r] = (i8)rel;
         }
     }
     for (i64 i = 0; i < ne; i++)
         if (bad_row[e_row[i]]) spilled[i] = 1;
-
-    R->M.assign(T1 * LANES, 0);
-    for (i64 i = 0; i < ne; i++)
-        R->M[e_row[i] * LANES + e_lane[i]] = (i8)(e_src[i] % LANES);
 
     // ---- pass A: bin by (sc, gamma), rank in stream order ----------------
     std::vector<i64> d_gamma(ne), d_chunk(ne), e_sc(ne);
@@ -175,8 +210,22 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
     RAu = std::min(RAu, SUB);
     if (force_RAu >= RAu) RAu = force_RAu;   // multi-shard common geometry
     R->RAu = RAu;
-    const i64 nsub = std::max<i64>(1, (n_sc * RAu + SUB - 1) / SUB);
+    i64 nsub = std::max<i64>(
+        1, (std::max(n_sc, pad_n_sc) * RAu + SUB - 1) / SUB);
+    if (pad_nsub > nsub) nsub = pad_nsub;
     R->nsub = nsub;
+    // final padded sc count: nsub*SUB == n_sc_f*RAu exactly, so B1 can
+    // block-select any gamma's packed region out of pass A's output
+    const i64 n_sc_f = nsub * SUB / RAu;
+    R->n_sc = n_sc_f;
+    R->T1 = n_sc_f * SC;
+    R->win.assign(n_sc_f, 0);
+    std::memcpy(R->win.data(), win_n.data(), n_sc * sizeof(i32));
+    R->win_rel.assign(n_sc_f * SC, 0);
+    std::memcpy(R->win_rel.data(), win_rel_n.data(), T1);
+    R->M.assign(n_sc_f * SC * LANES, 0);
+    for (i64 i = 0; i < ne; i++)
+        R->M[e_row[i] * LANES + e_lane[i]] = (i8)(e_src[i] % LANES);
     std::vector<i64> RAoff(gamma + 1, 0);
     for (i64 g = 0; g < gamma; g++) RAoff[g + 1] = RAoff[g] + RA[g];
 
@@ -218,9 +267,9 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
     for (i64 i = 0; i < ne; i++)
         if (!spilled[i] && bankA[i] >= KA) spilled[i] = 1;
 
-    R->SA.assign(n_sc * KA * SC * LANES, 0);
-    R->A_brow.assign(n_sc * gamma * RAu * LANES, 0);
-    R->A_bank.assign(n_sc * gamma * RAu * LANES, 255);
+    R->SA.assign(n_sc_f * KA * SC * LANES, 0);
+    R->A_brow.assign(n_sc_f * gamma * RAu * LANES, 0);
+    R->A_bank.assign(n_sc_f * gamma * RAu * LANES, 255);
     for (i64 i = 0; i < ne; i++) {
         if (spilled[i]) continue;
         const i64 s = e_sc[i];
@@ -414,9 +463,28 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
         if (spilled[i]) { R->spill_dst.push_back(e_dst[i]);
                           R->spill_src.push_back(e_src[i]); }
 
+    // ---- adaptive bank counts (table diet): most patterns keep only a
+    // fraction of the static bank budget live (measured 2 of 6 A-banks at
+    // the 1M random workload); tables and kernel masked-pass counts both
+    // shrink to the live count
+    i64 KAe = 1, KB1e = 1, KB2e = 1;
+    for (i64 i = 0; i < ne; i++)
+        if (!spilled[i]) KAe = std::max(KAe, bankA[i] + 1);
+    for (i64 j = 0; j < (i64)R->B1_bank.size(); j++)
+        if (R->B1_bank[j] != 255)
+            KB1e = std::max(KB1e, (i64)R->B1_bank[j] + 1);
+    for (i64 j = 0; j < (i64)R->B2_bank.size(); j++)
+        if (R->B2_bank[j] != 255)
+            KB2e = std::max(KB2e, (i64)R->B2_bank[j] + 1);
+    KAe = std::min(std::max(KAe, force_KA), KA);
+    KB1e = std::min(std::max(KB1e, force_KB1), KB1);
+    KB2e = std::min(std::max(KB2e, force_KB2), KB2);
+    R->KAe = KAe; R->KB1e = KB1e; R->KB2e = KB2e;
+
     geom[0] = R->ne; geom[1] = R->T1; geom[2] = R->n_sc; geom[3] = R->C2;
     geom[4] = R->gamma; geom[5] = R->cpg; geom[6] = R->RAu; geom[7] = R->nsub;
     geom[8] = R->RBu; geom[9] = (i64)R->spill_dst.size();
+    geom[10] = KAe; geom[11] = KB1e; geom[12] = KB2e;
     return R;
 }
 
@@ -432,6 +500,48 @@ void route_export(void* h, i32* win, i8* win_rel, i8* M, i8* SA,
     cp(R->S1, S1); cp(R->B1_brow, B1_brow); cp(R->B1_bank, B1_bank);
     cp(R->S2, S2); cp(R->B2_brow, B2_brow); cp(R->B2_bank, B2_bank);
     cp(R->spill_dst, spill_dst); cp(R->spill_src, spill_src);
+}
+
+// Packed export: emits the kernel-ready transposed CG tables (rel/sel)
+// with the leading bank dims of SA/S1/S2 sliced to the LIVE counts
+// (geom[10..12]) — the Python side allocates and uploads, nothing more.
+// live: u8[3*256] (A | B1 | B2) code-liveness flags.
+void route_export_packed(void* h, i32* win, i8* win_rel, i8* M, i8* SA,
+                         i8* A_rel, u8* A_sel, i8* S1, i8* B1_rel,
+                         u8* B1_sel, i8* S2, i8* B2_rel, u8* B2_sel,
+                         u8* live, i64* spill_dst, i64* spill_src) {
+    auto* R = (Route*)h;
+    auto cp = [](auto& v, auto* p) { std::memcpy(p, v.data(),
+                                                 v.size() * sizeof(v[0])); };
+    cp(R->win, win); cp(R->win_rel, win_rel); cp(R->M, M);
+    cp(R->spill_dst, spill_dst); cp(R->spill_src, spill_src);
+    const i64 n_sc = R->n_sc, gamma = R->gamma, cpg = R->cpg;
+    const i64 RAu = R->RAu, nsub = R->nsub, RBu = R->RBu;
+    // SA (n_sc, KA, SC, 128) -> (n_sc, KAe, SC, 128)
+    for (i64 s = 0; s < n_sc; s++)
+        std::memcpy(SA + s * R->KAe * SC * LANES,
+                    R->SA.data() + s * KA * SC * LANES,
+                    R->KAe * SC * LANES);
+    // S1 (gamma, KB1, nsub*SUB, 128) -> (gamma, KB1e, ...)
+    for (i64 g = 0; g < gamma; g++)
+        std::memcpy(S1 + g * R->KB1e * nsub * SUB * LANES,
+                    R->S1.data() + g * KB1 * nsub * SUB * LANES,
+                    R->KB1e * nsub * SUB * LANES);
+    // S2 (gamma, cpg, KB2, nsub*RBu, 128) -> (..., KB2e, ...)
+    for (i64 gd = 0; gd < gamma * cpg; gd++)
+        std::memcpy(S2 + gd * R->KB2e * nsub * RBu * LANES,
+                    R->S2.data() + gd * KB2 * nsub * RBu * LANES,
+                    R->KB2e * nsub * RBu * LANES);
+    std::memset(live, 0, 3 * 256);
+    const i64 PA = (SC + LANES - 1) / LANES;
+    const i64 PB = (SUB + LANES - 1) / LANES;
+    const i64 PS = (nsub * RBu + LANES - 1) / LANES;
+    pack_cg(R->A_brow, R->A_bank, n_sc, gamma * RAu, PA, A_rel, A_sel,
+            live);
+    pack_cg(R->B1_brow, R->B1_bank, gamma * nsub, cpg * RBu, PB, B1_rel,
+            B1_sel, live + 256);
+    pack_cg(R->B2_brow, R->B2_bank, gamma * cpg, LANES, PS, B2_rel,
+            B2_sel, live + 512);
 }
 
 void route_free(void* h) { delete (Route*)h; }
