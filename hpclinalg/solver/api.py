@@ -66,6 +66,79 @@ class _CSCView:
         self.indptr, self.indices, self.data = indptr, indices, data
 
 
+def _colperm_matching(A_host) -> np.ndarray | None:
+    """MC64-role maximum-product transversal (MUMPS ICNTL(6) role,
+    mumps_factorization.jl:176-185 pipeline): a column permutation cperm
+    with A[i, cperm[i]] large, via min-weight full bipartite matching on
+    -log(|a| / rowmax). Returns None when structurally singular or the
+    identity already matches."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import min_weight_full_bipartite_matching
+
+    M = sp.csr_matrix(abs(A_host))
+    n = M.shape[0]
+    if M.nnz == 0:
+        return None
+    rowmax = np.maximum(np.asarray(abs(M).max(axis=1).todense()).ravel(),
+                        1e-300)
+    W = M.tocoo()
+    w = 1e-3 - np.log(np.maximum(W.data, 1e-300) / rowmax[W.row])
+    Wm = sp.csr_matrix((w, (W.row, W.col)), shape=M.shape)
+    try:
+        rows_i, cols_i = min_weight_full_bipartite_matching(Wm)
+    except Exception:
+        return None
+    if len(rows_i) < n:
+        return None
+    cperm = np.empty(n, np.int64)
+    cperm[rows_i] = cols_i
+    if np.array_equal(cperm, np.arange(n)):
+        return None
+    return cperm
+
+
+def _get_symbolic_cp(A, cperm) -> SymbolicFactor:
+    """Symbolic analysis of the column-permuted pattern A[:, cperm]."""
+    import hashlib
+
+    h = hashlib.blake2b(cperm.tobytes(), digest_size=12).hexdigest()
+
+    def build():
+        import scipy.sparse as sp
+
+        pat = A.pattern_csr()
+        icperm = np.argsort(cperm)
+        B = sp.csr_matrix((pat.data, icperm[pat.indices], pat.indptr),
+                          shape=pat.shape)
+        B.sort_indices()
+        return analyze_best(B)
+
+    return cached_plan("symbolic", (A.hash, "cp", h), build)
+
+
+def _get_perm_csc_cp(A, sym, cperm):
+    """_get_perm_csc for the column-permuted system B = A[:, cperm]."""
+    import hashlib
+
+    h = hashlib.blake2b(cperm.tobytes(), digest_size=12).hexdigest()
+
+    def build():
+        A_csr = A.pattern_csr()
+        n = A.m
+        coo = A_csr.tocoo()
+        icperm = np.argsort(cperm)
+        r2 = sym.iperm[coo.row]
+        c2 = sym.iperm[icperm[coo.col]]
+        order = np.lexsort((r2, c2))
+        indices = r2[order].astype(np.int64)
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, c2[order] + 1, 1)
+        indptr = np.cumsum(indptr).astype(np.int64)
+        return indptr, indices, order.astype(np.int64)
+
+    return cached_plan("solver_perm", (A.hash, "cp", h), build)
+
+
 class Symmetric:
     """Marker asserting symmetry for solves — the analogue of wrapping in
     LinearAlgebra.Symmetric before backslash (ref: Base.:\\ on Symmetric,
@@ -94,6 +167,7 @@ class Factorization:
         self.dtype = np.dtype(np.complex128 if np.issubdtype(
             np.dtype(A.dtype), np.complexfloating) else np.float64)
         self._A_host = None
+        self.cperm: np.ndarray | None = None  # MC64-role column permutation
         self.sym = _get_symbolic(A)
         self._lib = load_mf()
         self.native: NativeFactor | None = (
@@ -119,15 +193,61 @@ class Factorization:
         else:
             self._A_host.data[:] = vals
         if self.native is not None:
-            indptr, indices, nzmap = _get_perm_csc(A, self.sym)
             anorm = float(np.abs(vals).max()) if vals.size else 0.0
             # relative threshold (no 1.0 floor: it would perturb every
             # pivot of a small-magnitude matrix)
             eps = _PERT_REL * (anorm if anorm > 0 else 1.0)
-            csc = _CSCView(indptr, indices, np.ascontiguousarray(vals[nzmap]))
-            self.native.factorize(self._lib, csc, self.kind, eps)
+            csc = self._csc_for(A, vals)
+            self.native.factorize(self._lib, csc, self.kind, eps,
+                                  pivot=self.cperm is not None)
+            if self._unstable():
+                # a static perturbation fired, or the factor shows large
+                # element growth (a legal-but-tiny pivot the eps clamp
+                # missed): escalate to the within-front pivoted kernels
+                # (BK LDLt / partial-pivot LU — the MUMPS CNTL(1) role,
+                # mumps_factorization.jl:176-224). The fast unpivoted
+                # kernels stay the default for the overwhelmingly common
+                # well-pivoted case.
+                self.native.factorize(self._lib, csc, self.kind, eps,
+                                      pivot=True)
+            if self._unstable() and self.kind == "lu" \
+                    and self.cperm is None:
+                # in-front pivoting exhausted its fully-summed candidate
+                # pool: escalate to the MC64-role column permutation
+                # (strong diagonal by construction) and refactor on the
+                # permuted pattern — the MUMPS ICNTL(6) preprocessing role
+                cperm = _colperm_matching(self._A_host)
+                if cperm is not None:
+                    self.cperm = cperm
+                    self.sym = _get_symbolic_cp(A, cperm)
+                    self.native = NativeFactor(self.sym, self.dtype)
+                    self.native.factorize(self._lib, self._csc_for(A, vals),
+                                          self.kind, eps, pivot=True)
         else:
             self.num = factorize(self.sym, A.to_scipy(), self.kind)
+
+    _GROWTH_MAX = 1e8
+
+    def _factor_growth(self) -> float:
+        """Max |L| entry — the growth monitor deciding pivot escalation
+        and the refinement default (bounded for pivoted factors)."""
+        nf = self.native
+        g = 0.0
+        for a in (nf.L11, nf.L21):
+            if a.size:
+                g = max(g, float(np.abs(a).max()))
+        return g
+
+    def _unstable(self) -> bool:
+        return (self.native.n_perturbed > 0
+                or self._factor_growth() > self._GROWTH_MAX)
+
+    def _csc_for(self, A, vals):
+        if self.cperm is None:
+            indptr, indices, nzmap = _get_perm_csc(A, self.sym)
+        else:
+            indptr, indices, nzmap = _get_perm_csc_cp(A, self.sym, self.cperm)
+        return _CSCView(indptr, indices, np.ascontiguousarray(vals[nzmap]))
 
     # -- refactorization: same pattern, new values (ref: job=2 re-run,
     # mumps_factorization.jl:386-396) --------------------------------------
@@ -152,7 +272,17 @@ class Factorization:
 
     def _solve_host(self, bh: np.ndarray, transpose: bool) -> np.ndarray:
         if self.native is not None:
-            return self.native.solve(self._lib, bh, transpose=transpose)
+            if self.cperm is None:
+                return self.native.solve(self._lib, bh, transpose=transpose)
+            # factor is of B = A[:, cperm]:  A x = b  <=>  B y = b with
+            # x[cperm] = y;  A^T x = b  <=>  B^T x = b[cperm]
+            if transpose:
+                return self.native.solve(self._lib, bh[self.cperm],
+                                         transpose=True)
+            y = self.native.solve(self._lib, bh, transpose=False)
+            x = np.empty_like(y)
+            x[self.cperm] = y
+            return x
         return solve_factored(self.num, bh, transpose=transpose)
 
     def _solve_refined(self, bh: np.ndarray, transpose: bool,
@@ -180,7 +310,11 @@ class Factorization:
         if self.native is None and self.num is None:
             raise RuntimeError("factorization was finalized")
         if refine is None:
-            refine = 1 if self.n_perturbed == 0 else 3
+            # unperturbed, growth-bounded f64 direct solves are already at
+            # ~1e-13 relative residual; a default sweep would double the
+            # solve cost (the reference's MUMPS path runs without
+            # refinement by default, mumps_factorization.jl:291-353)
+            refine = 0 if self._clean() else 3
         is_dist = isinstance(b, DistVector)
         bh = b.to_numpy_ro() if is_dist else np.asarray(b)
         dtype = np.result_type(bh.dtype, self.dtype)
@@ -208,7 +342,17 @@ class Factorization:
 
     def _solve_multi_host(self, Bh: np.ndarray, transpose: bool) -> np.ndarray:
         if self.native is not None:
-            return self.native.solve_multi(self._lib, Bh, transpose=transpose)
+            if self.cperm is None:
+                return self.native.solve_multi(self._lib, Bh,
+                                               transpose=transpose)
+            if transpose:
+                return self.native.solve_multi(
+                    self._lib, np.ascontiguousarray(Bh[self.cperm]),
+                    transpose=True)
+            Y = self.native.solve_multi(self._lib, Bh, transpose=False)
+            X = np.empty_like(Y)
+            X[self.cperm] = Y
+            return X
         return np.stack([solve_factored(self.num, Bh[:, j], transpose=transpose)
                          for j in range(Bh.shape[1])], axis=1)
 
@@ -224,7 +368,7 @@ class Factorization:
         if self.native is None and self.num is None:
             raise RuntimeError("factorization was finalized")
         if refine is None:
-            refine = 1 if self.n_perturbed == 0 else 3
+            refine = 0 if self._clean() else 3
         is_dist = isinstance(B, DistDenseMatrix)
         Bh = B.to_numpy_ro() if is_dist else np.asarray(B)
         dtype = np.result_type(Bh.dtype, self.dtype)
@@ -259,6 +403,14 @@ class Factorization:
         """Release numeric data (ref: finalize!, mumps_factorization.jl:421)."""
         self.num = None
         self.native = None
+
+    def _clean(self) -> bool:
+        """No perturbations and bounded growth: safe to skip refinement."""
+        if self.n_perturbed != 0:
+            return False
+        if self.native is not None:
+            return self._factor_growth() <= self._GROWTH_MAX
+        return True
 
     @property
     def n_perturbed(self) -> int:

@@ -209,6 +209,23 @@ def _all_finite(tree):
     return jnp.stack([jnp.isfinite(x).all() for x in leaves]).all()
 
 
+# |L| growth ceiling before a device factorization is flagged unstable and
+# its solves escalate to full-budget compensated refinement (f32 engine:
+# growth g costs ~log2(g) of the 24 mantissa bits per sweep)
+_GROWTH_MAX_DEV = 1e4
+
+
+@jax.jit
+def _max_abs(tree):
+    """One compiled max-|x| probe over a factor pytree (growth monitor)."""
+    leaves = [x for x in jax.tree_util.tree_leaves(tree)
+              if jnp.issubdtype(x.dtype, jnp.inexact) and x.size]
+    if not leaves:
+        return jnp.float32(0)
+    return jnp.stack([jnp.max(jnp.abs(x)).astype(jnp.float32)
+                      for x in leaves]).max()
+
+
 def _clamp(d, eps):
     """Static-pivot perturbation: |d| < eps -> sign-preserving +-eps."""
     bad = jnp.abs(d) < eps
@@ -1412,8 +1429,16 @@ class DeviceFactorization:
         self.factors = None
         self.factors = self.engine.factor(Avals, eps)
         self.n_perturbed = int(self.factors[2])
+        # growth monitor (VERDICT r4 #6, device side): the device engine
+        # has no numerical pivoting, so a legal-but-tiny pivot shows up as
+        # large |L| growth; flag it and escalate the solve to the
+        # full-budget compensated refinement (the eps clamp alone only
+        # catches |pivot| < eps)
+        loc, top, _ = self.factors
+        self.growth = float(_max_abs((loc, top)))
+        self._unstable = (self.n_perturbed > 0
+                          or self.growth > _GROWTH_MAX_DEV)
         if self.kind == "chol":
-            loc, top, _ = self.factors
             if not bool(_all_finite((loc, top))):
                 raise ValueError("device Cholesky requires an SPD matrix "
                                  "(use kind='ldl' for indefinite systems)")
@@ -1458,6 +1483,10 @@ class DeviceFactorization:
         # tolerance class); the auto default keeps the fast cap so routine
         # f32 solves stay ~refine-cost while still gaining the compensated
         # residual's accuracy
+        if getattr(self, "_unstable", False) and extended is not False:
+            # growth-flagged factorization: spend the full compensated
+            # budget — refinement is what recovers the lost accuracy
+            extended = True
         explicit_ext = extended is True
         if extended is None:
             extended = self.engine.dtype == jnp.float32

@@ -103,6 +103,23 @@ def load_mf():
                        _i64p, _i64p, fp, fp, fp, fp, fp, ctypes.c_int,
                        ctypes.c_int, ctypes.c_int64, fp]
         sm.restype = None
+        # pivoted variants (within-front BK / partial-pivoting kernels)
+        fpv = getattr(lib, f"mf_factorize_piv_{suffix}")
+        fpv.argtypes = [ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
+                        _i64p, _i64p, _i64p, fp, _i64p, _i64p, fp, fp, fp,
+                        fp, fp, ctypes.c_int, ctypes.c_double, fp, _i64p,
+                        _i64p]
+        fpv.restype = ctypes.c_int64
+        spv = getattr(lib, f"mf_solve_piv_{suffix}")
+        spv.argtypes = [ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
+                        _i64p, _i64p, fp, fp, fp, fp, fp, ctypes.c_int,
+                        ctypes.c_int, fp, fp, _i64p]
+        spv.restype = None
+        smv = getattr(lib, f"mf_solve_multi_piv_{suffix}")
+        smv.argtypes = [ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
+                        _i64p, _i64p, fp, fp, fp, fp, fp, ctypes.c_int,
+                        ctypes.c_int, ctypes.c_int64, fp, fp, _i64p]
+        smv.restype = None
     return lib
 
 
@@ -133,40 +150,102 @@ class NativeFactor:
         self.U12 = np.zeros(1, dtype=self.dtype)
         self.kind = None
         self.n_perturbed = 0
+        # within-front pivoting state (kind 2/3 fallback kernels): 2x2
+        # subdiagonals, factor-position -> pre-pivot-position map, and the
+        # relabeled descendant scatter targets
+        self.pivoted = False
+        self.Dsub = np.zeros(1, dtype=self.dtype)
+        self.pivperm = None
+        self.rows2 = self.rows
 
     def _fn(self, lib, name):
         suffix = "z" if self.dtype == np.complex128 else "d"
         return getattr(lib, f"mf_{name}_{suffix}")
 
-    def factorize(self, lib, Ap_csc, kind: str, eps: float) -> int:
+    def factorize(self, lib, Ap_csc, kind: str, eps: float,
+                  pivot: bool = False) -> int:
         if kind == "lu" and self.U11.size == 1:
             self.U11 = np.zeros(self.L11.size, dtype=self.dtype)
             self.U12 = np.zeros(self.L21.size, dtype=self.dtype)
         self.kind = kind
         Ax = np.ascontiguousarray(Ap_csc.data, dtype=self.dtype)
-        rc = self._fn(lib, "factorize")(
-            self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
-            self.rows, self.sparent,
-            Ap_csc.indptr.astype(np.int64), Ap_csc.indices.astype(np.int64),
-            Ax, self.l11_off, self.l21_off,
-            self.L11, self.L21, self.D, self.U11, self.U12,
-            0 if kind == "ldlt" else 1, eps,
-        )
+        if pivot and hasattr(lib, f"mf_factorize_piv_"
+                             f"{'z' if self.dtype == np.complex128 else 'd'}"):
+            # within-front pivoted kernels (BK LDLt / partial-pivot LU) —
+            # the escalation path when the static perturbation fires
+            # (MUMPS CNTL(1) role, mumps_factorization.jl:176-224)
+            self.pivoted = True
+            if self.Dsub.size == 1:
+                self.Dsub = np.zeros(max(self.sym.n, 1), dtype=self.dtype)
+            self.pivperm = np.arange(self.sym.n, dtype=np.int64)
+            self.rows2 = np.zeros_like(self.rows) \
+                if self.rows.size else self.rows
+            rc = self._fn(lib, "factorize_piv")(
+                self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
+                self.rows, self.sparent,
+                Ap_csc.indptr.astype(np.int64),
+                Ap_csc.indices.astype(np.int64),
+                Ax, self.l11_off, self.l21_off,
+                self.L11, self.L21, self.D, self.U11, self.U12,
+                2 if kind == "ldlt" else 3, eps,
+                self.Dsub, self.pivperm, self.rows2,
+            )
+        else:
+            self.pivoted = False
+            self.pivperm = None
+            self.rows2 = self.rows
+            rc = self._fn(lib, "factorize")(
+                self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
+                self.rows, self.sparent,
+                Ap_csc.indptr.astype(np.int64),
+                Ap_csc.indices.astype(np.int64),
+                Ax, self.l11_off, self.l21_off,
+                self.L11, self.L21, self.D, self.U11, self.U12,
+                0 if kind == "ldlt" else 1, eps,
+            )
         if rc < 0:
             raise RuntimeError(f"native factorization failed: {rc}")
         self.n_perturbed = int(rc)
         return self.n_perturbed
 
+    def _perms(self, transpose: bool):
+        """(entry, exit) index arrays composing the fill-reducing perm with
+        the within-front pivot map. The pivoted factor is of Q A_p Q^T
+        (LDLt, symmetric swaps) or Q A_p (LU, row swaps), so:
+          LDLt:        y = b[perm o piv]; x[perm o piv] = y
+          LU:          y = b[perm o piv]; x[perm] = y
+          LU transp.:  y = b[perm];       x[perm o piv] = y
+        """
+        perm = self.sym.perm
+        if not self.pivoted:
+            return perm, perm
+        eperm = perm[self.pivperm]
+        if self.kind == "ldlt":
+            return eperm, eperm
+        return (perm, eperm) if transpose else (eperm, perm)
+
     def solve(self, lib, b: np.ndarray, transpose: bool = False) -> np.ndarray:
-        y = np.ascontiguousarray(b[self.sym.perm], dtype=self.dtype)
-        self._fn(lib, "solve")(
-            self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
-            self.rows, self.l11_off, self.l21_off,
-            self.L11, self.L21, self.D, self.U11, self.U12,
-            0 if self.kind == "ldlt" else 1, 1 if transpose else 0, y,
-        )
+        entry, exitp = self._perms(transpose)
+        y = np.ascontiguousarray(b[entry], dtype=self.dtype)
+        if self.pivoted:
+            # rows2: L-sweep labels (relabeled to post-pivot ROW
+            # positions); rows: U-sweep labels (column space, unpermuted)
+            self._fn(lib, "solve_piv")(
+                self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
+                self.rows2, self.l11_off, self.l21_off,
+                self.L11, self.L21, self.D, self.U11, self.U12,
+                0 if self.kind == "ldlt" else 1, 1 if transpose else 0, y,
+                self.Dsub, self.rows,
+            )
+        else:
+            self._fn(lib, "solve")(
+                self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
+                self.rows, self.l11_off, self.l21_off,
+                self.L11, self.L21, self.D, self.U11, self.U12,
+                0 if self.kind == "ldlt" else 1, 1 if transpose else 0, y,
+            )
         x = np.empty_like(y)
-        x[self.sym.perm] = y
+        x[exitp] = y
         return x
 
     def solve_multi(self, lib, B: np.ndarray,
@@ -174,14 +253,24 @@ class NativeFactor:
         """Blocked multi-RHS solve: B (n, k) -> X (n, k); one gemm-based
         sweep for all columns (ref gathers the whole RHS once,
         mumps_factorization.jl:291-353)."""
-        Y = np.ascontiguousarray(B[self.sym.perm], dtype=self.dtype)
-        self._fn(lib, "solve_multi")(
-            self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
-            self.rows, self.l11_off, self.l21_off,
-            self.L11, self.L21, self.D, self.U11, self.U12,
-            0 if self.kind == "ldlt" else 1, 1 if transpose else 0,
-            Y.shape[1], Y,
-        )
+        entry, exitp = self._perms(transpose)
+        Y = np.ascontiguousarray(B[entry], dtype=self.dtype)
+        if self.pivoted:
+            self._fn(lib, "solve_multi_piv")(
+                self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
+                self.rows2, self.l11_off, self.l21_off,
+                self.L11, self.L21, self.D, self.U11, self.U12,
+                0 if self.kind == "ldlt" else 1, 1 if transpose else 0,
+                Y.shape[1], Y, self.Dsub, self.rows,
+            )
+        else:
+            self._fn(lib, "solve_multi")(
+                self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
+                self.rows, self.l11_off, self.l21_off,
+                self.L11, self.L21, self.D, self.U11, self.U12,
+                0 if self.kind == "ldlt" else 1, 1 if transpose else 0,
+                Y.shape[1], Y,
+            )
         X = np.empty_like(Y)
-        X[self.sym.perm] = Y
+        X[exitp] = Y
         return X

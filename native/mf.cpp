@@ -168,8 +168,29 @@ template <> struct Blas<cd> {
 
 template <class T> static double absval(T x) { return std::abs(x); }
 
+// ---- within-front pivoting helpers -------------------------------------------
+// The front F is stored FULL (assembly writes both halves of the symmetric
+// pattern), so a symmetric permutation is a plain row swap + column swap.
+template <class T>
+static inline void swap_front_rows(T *F, i64 nf, i64 p, i64 q) {
+  for (i64 c = 0; c < nf; ++c) std::swap(F[(size_t)c * nf + p],
+                                         F[(size_t)c * nf + q]);
+}
+template <class T>
+static inline void swap_front_cols(T *F, i64 nf, i64 p, i64 q) {
+  T *cp = &F[(size_t)p * nf], *cq = &F[(size_t)q * nf];
+  for (i64 i = 0; i < nf; ++i) std::swap(cp[i], cq[i]);
+}
+
 // ---- factorization ----------------------------------------------------------
-// kind: 0 = LDLt (symmetric, possibly complex-symmetric), 1 = LU.
+// kind: 0 = LDLt (symmetric, possibly complex-symmetric), 1 = LU,
+//       2 = LDLt with within-front Bunch-Kaufman pivoting (1x1 + 2x2,
+//           symmetric swaps local to the supernode; MUMPS CNTL(1) role,
+//           /root/reference/src/mumps_factorization.jl:176-224),
+//       3 = LU with within-front threshold partial row pivoting.
+// Pivoted kinds fill Dsub (2x2 subdiagonal, 0 = 1x1), pivperm (factor
+// position -> pre-pivot position) and rows_out (descendant scatter targets
+// relabeled to post-pivot positions).
 template <class T>
 static i64 factorize_full(
     i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr, const i64 *rows,
@@ -177,8 +198,11 @@ static i64 factorize_full(
     const i64 *Ap, const i64 *Ai, const T *Ax,
     const i64 *l11_off, const i64 *l21_off,
     T *L11, T *L21, T *D, T *U11, T *U12,
-    int kind, double eps) {
+    int kind, double eps,
+    T *Dsub = nullptr, i64 *pivperm = nullptr, i64 *rows_out = nullptr) {
   i64 npert = 0;
+  if (pivperm) for (i64 i = 0; i < n; ++i) pivperm[i] = i;
+  if (Dsub) for (i64 i = 0; i < n; ++i) Dsub[i] = T(0);
   std::vector<i64> pos_of(n, -1);
   std::vector<i64> chead(ns, -1), cnext(ns, -1);
   for (i64 k = 0; k < ns; ++k) {
@@ -230,7 +254,7 @@ static i64 factorize_full(
       }
     }
     }
-    if (kind == 1) {
+    if (kind == 1 || kind == 3) {
       // upper block F[0:nc, nc:]: A entries (r, c) with r in snode cols and
       // c in rows — scan each front-row column in CSC
       for (i64 t = r0; t < r1; ++t) {
@@ -269,7 +293,128 @@ static i64 factorize_full(
     T *l21 = &L21[l21_off[k]];
     T *d = &D[j0];
 
-    if (kind == 0) {
+    if (kind == 2) {
+      PROF(3);
+      // ---- Bunch-Kaufman LDLt with within-front symmetric swaps ---------
+      // Right-looking level-2 with FULL-front symmetric updates (both
+      // halves stay valid so swaps are plain row+col exchanges), pivot
+      // tests over current values including the non-fully-summed rows.
+      // Escalation path only: api.py retries with kind 2/3 when a static
+      // perturbation fires, so the fast blocked kernels stay the default.
+      const double alpha = 0.6403882032022076;  // (1+sqrt(17))/8
+      i64 j = 0;
+      while (j < nc) {
+        i64 r_in = -1;
+        double lam = 0.0, lam_in = 0.0;
+        for (i64 i = j + 1; i < nf; ++i) {
+          const double v = absval(F[(size_t)j * nf + i]);
+          if (v > lam) lam = v;
+          if (i < nc && v > lam_in) { lam_in = v; r_in = i; }
+        }
+        const double ajj = absval(F[(size_t)j * nf + j]);
+        bool two = false;
+        if (!(nc - j == 1 || lam == 0.0 || ajj >= alpha * lam)
+            && r_in >= 0) {
+          const i64 rr = r_in;
+          double sig = 0.0;
+          for (i64 i = j; i < nf; ++i) {
+            if (i == rr) continue;
+            const double v = absval(F[(size_t)rr * nf + i]);
+            if (v > sig) sig = v;
+          }
+          const double arr = absval(F[(size_t)rr * nf + rr]);
+          if (ajj * sig >= alpha * lam_in * lam_in) {
+            // keep the 1x1 at j
+          } else if (arr >= alpha * sig) {
+            swap_front_rows(F.data(), nf, j, rr);
+            swap_front_cols(F.data(), nf, j, rr);
+            if (pivperm) std::swap(pivperm[j0 + j], pivperm[j0 + rr]);
+          } else {
+            if (rr != j + 1) {
+              swap_front_rows(F.data(), nf, j + 1, rr);
+              swap_front_cols(F.data(), nf, j + 1, rr);
+              if (pivperm) std::swap(pivperm[j0 + j + 1], pivperm[j0 + rr]);
+            }
+            two = true;
+          }
+        }
+        if (!two) {
+          T dj = F[(size_t)j * nf + j];
+          if (absval(dj) < eps) {
+            dj = (absval(dj) == 0.0 || std::real(dj) >= 0.0) ? T(eps)
+                                                             : T(-eps);
+            ++npert;
+          }
+          d[j] = dj;
+          const T inv = T(1.0) / dj;
+          T *col = &F[(size_t)j * nf];
+          for (i64 i = j + 1; i < nf; ++i) col[i] *= inv;   // L column
+          for (i64 c = j + 1; c < nf; ++c) {
+            const T s = col[c] * dj;
+            if (s == T(0)) continue;
+            T *dst = &F[(size_t)c * nf];
+            for (i64 i = j + 1; i < nf; ++i) dst[i] -= col[i] * s;
+          }
+          j += 1;
+        } else {
+          T a = F[(size_t)j * nf + j];
+          T b = F[(size_t)j * nf + j + 1];
+          T c2 = F[(size_t)(j + 1) * nf + j + 1];
+          T det = a * c2 - b * b;
+          // BK 2x2 blocks have |b| >= alpha*sigma, so det ~ -b^2 is well
+          // scaled; the clamp is a safety net for degenerate exact zeros
+          if (absval(det) < eps * eps) {
+            a += (std::real(a) >= 0 ? T(eps) : T(-eps));
+            c2 += (std::real(c2) >= 0 ? T(eps) : T(-eps));
+            det = a * c2 - b * b;
+            ++npert;
+          }
+          d[j] = a;
+          d[j + 1] = c2;
+          if (Dsub) Dsub[j0 + j] = b;
+          const T i00 = c2 / det, i01 = -b / det, i11 = a / det;
+          T *c0 = &F[(size_t)j * nf];
+          T *c1 = &F[(size_t)(j + 1) * nf];
+          for (i64 i = j + 2; i < nf; ++i) {
+            const T l0 = c0[i] * i00 + c1[i] * i01;
+            const T l1 = c0[i] * i01 + c1[i] * i11;
+            c0[i] = l0;
+            c1[i] = l1;
+          }
+          for (i64 c = j + 2; c < nf; ++c) {
+            const T w0 = a * c0[c] + b * c1[c];    // raw A(c, j)
+            const T w1 = b * c0[c] + c2 * c1[c];   // raw A(c, j+1)
+            if (w0 == T(0) && w1 == T(0)) continue;
+            T *dst = &F[(size_t)c * nf];
+            for (i64 i = j + 2; i < nf; ++i)
+              dst[i] -= c0[i] * w0 + c1[i] * w1;
+          }
+          c1[j] = T(0);
+          c0[j + 1] = T(0);
+          j += 2;
+        }
+      }
+      // extraction: L (scaled) already lives in F, Schur in F22
+      for (i64 jj = 0; jj < nc; ++jj) {
+        T *dst = &l11[(size_t)jj * nc];
+        for (i64 i = 0; i < nc; ++i)
+          dst[i] = (i == jj) ? T(1) : (i > jj ? F[(size_t)jj * nf + i]
+                                              : T(0));
+      }
+      if (nr > 0) {
+        for (i64 jj = 0; jj < nc; ++jj)
+          memcpy(&l21[(size_t)jj * nr], &F[(size_t)jj * nf + nc],
+                 sizeof(T) * nr);
+        upd_off[k] = top;
+        T *U = &arena[top];
+        top += nr * nr;
+        for (i64 jj = 0; jj < nr; ++jj)
+          memcpy(&U[(size_t)jj * nr], &F[(size_t)(nc + jj) * nf + nc],
+                 sizeof(T) * nr);
+      } else {
+        upd_off[k] = top;
+      }
+    } else if (kind == 0) {
       PROF(3);
       // ---- unpivoted blocked LDLt of F11 (nc x nc) -----------------------
       const i64 NB = 48;
@@ -383,6 +528,73 @@ static i64 factorize_full(
       } else {
         upd_off[k] = top;
       }
+    } else if (kind == 3) {
+      // ---- LU of F11 with threshold partial ROW pivoting -----------------
+      // Pivot rows are the fully-summed rows [j, nc) only (rows >= nc
+      // belong to ancestors — the classic multifrontal restriction); the
+      // eps clamp + refinement still covers growth those rows carry.
+      // Level-2 right-looking on F11; L21/U12/Schur extraction below is
+      // shared with the blocked path (F21/F12 stay raw; row swaps span
+      // ALL nf columns so the F12 region follows its rows).
+      for (i64 j = 0; j < nc; ++j) {
+        i64 r = j;
+        double best = absval(F[(size_t)j * nf + j]);
+        for (i64 i = j + 1; i < nc; ++i) {
+          const double v = absval(F[(size_t)j * nf + i]);
+          if (v > best) { best = v; r = i; }
+        }
+        if (r != j) {
+          swap_front_rows(F.data(), nf, j, r);
+          if (pivperm) std::swap(pivperm[j0 + j], pivperm[j0 + r]);
+        }
+        T dj = F[(size_t)j * nf + j];
+        if (absval(dj) < eps) {
+          dj = (absval(dj) == 0.0 || std::real(dj) >= 0.0) ? T(eps) : T(-eps);
+          F[(size_t)j * nf + j] = dj;
+          ++npert;
+        }
+        const T inv = T(1.0) / dj;
+        T *col = &F[(size_t)j * nf];
+        for (i64 i = j + 1; i < nc; ++i) col[i] *= inv;
+        for (i64 c = j + 1; c < nc; ++c) {
+          const T u = F[(size_t)c * nf + j];
+          if (u == T(0)) continue;
+          T *dst = &F[(size_t)c * nf];
+          for (i64 i = j + 1; i < nc; ++i) dst[i] -= col[i] * u;
+        }
+      }
+      // export L11 (unit lower) and U11 (upper incl diag)
+      T *u11 = &U11[l11_off[k]];
+      T *u12 = &U12[l21_off[k]];
+      for (i64 j = 0; j < nc; ++j) {
+        T *dl = &l11[(size_t)j * nc];
+        T *du = &u11[(size_t)j * nc];
+        for (i64 i = 0; i < nc; ++i) {
+          const T v = F[(size_t)j * nf + i];
+          dl[i] = (i == j) ? T(1) : (i > j ? v : T(0));
+          du[i] = (i <= j) ? v : T(0);
+        }
+      }
+      if (nr > 0) {
+        for (i64 j = 0; j < nc; ++j)
+          memcpy(&l21[(size_t)j * nr], &F[(size_t)j * nf + nc], sizeof(T) * nr);
+        Blas<T>::trsm('R', 'U', 'N', 'N', (blasint)nr, (blasint)nc, T(1),
+                      u11, (blasint)nc, l21, (blasint)nr);
+        for (i64 j = 0; j < nr; ++j)
+          memcpy(&u12[(size_t)j * nc], &F[(size_t)(nc + j) * nf], sizeof(T) * nc);
+        Blas<T>::trsm('L', 'L', 'N', 'U', (blasint)nc, (blasint)nr, T(1),
+                      l11, (blasint)nc, u12, (blasint)nc);
+        upd_off[k] = top;
+        T *U = &arena[top];
+        top += nr * nr;
+        for (i64 j = 0; j < nr; ++j)
+          memcpy(&U[(size_t)j * nr], &F[(size_t)(nc + j) * nf + nc],
+                 sizeof(T) * nr);
+        Blas<T>::gemm('N', 'N', (blasint)nr, (blasint)nr, (blasint)nc, T(-1),
+                      l21, (blasint)nr, u12, (blasint)nc, T(1), U, (blasint)nr);
+      } else {
+        upd_off[k] = top;
+      }
     } else {
       // ---- unpivoted blocked LU of F11 -----------------------------------
       const i64 NB = 48;
@@ -475,6 +687,12 @@ static i64 factorize_full(
     for (i64 j = j0; j < j1; ++j) pos_of[j] = -1;
     for (i64 t = r0; t < r1; ++t) pos_of[rows[t]] = -1;
   }
+  if (rows_out && pivperm) {
+    // descendant scatter targets relabeled to post-pivot positions
+    std::vector<i64> g(n);
+    for (i64 i = 0; i < n; ++i) g[pivperm[i]] = i;
+    for (i64 t = 0; t < rows_ptr[ns]; ++t) rows_out[t] = g[rows[t]];
+  }
   return npert;
 }
 
@@ -525,7 +743,13 @@ static void solve_impl(
     i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr, const i64 *rows,
     const i64 *l11_off, const i64 *l21_off,
     const T *L11, const T *L21, const T *D, const T *U11, const T *U12,
-    int kind, int transpose, T *y /* permuted rhs, in-out */) {
+    int kind, int transpose, T *y /* permuted rhs, in-out */,
+    const T *Dsub = nullptr /* 2x2 subdiagonals from the BK kind */,
+    const i64 *rowsU = nullptr /* COLUMN-space labels for the U sweeps:
+    within-front LU pivoting permutes ROW positions only, so the L sweeps
+    scatter/gather by the relabeled rows while the U sweeps keep the
+    original column labels (defaults to rows) */) {
+  if (!rowsU) rowsU = rows;
   std::vector<T> tmp;
   if (kind == 0 || !transpose) {
     // forward with L
@@ -546,8 +770,21 @@ static void solve_impl(
                         (blasint)nr, &y[j0], 1, T(0), tmp.data(), 1);
         for (i64 t = 0; t < nr; ++t) y[rows[r0 + t]] -= tmp[t];
       }
-      if (kind == 0)
-        for (i64 j = 0; j < nc; ++j) y[j0 + j] /= D[j0 + j];
+      if (kind == 0) {
+        for (i64 j = 0; j < nc; ++j) {
+          if (Dsub && Dsub[j0 + j] != T(0)) {
+            // BK 2x2 block (j, j+1)
+            const T a = D[j0 + j], b = Dsub[j0 + j], c = D[j0 + j + 1];
+            const T det = a * c - b * b;
+            const T r0v = y[j0 + j], r1v = y[j0 + j + 1];
+            y[j0 + j] = (c * r0v - b * r1v) / det;
+            y[j0 + j + 1] = (a * r1v - b * r0v) / det;
+            ++j;
+          } else {
+            y[j0 + j] /= D[j0 + j];
+          }
+        }
+      }
     }
   } else {
     // LU transpose: forward with U^T (lower, non-unit); off-block U12^T.
@@ -577,7 +814,7 @@ static void solve_impl(
         else
           Blas<T>::gemv('T', (blasint)nc, (blasint)nr, T(1), &U12[l21_off[k]],
                         (blasint)nc, &y[j0], 1, T(0), tmp.data(), 1);
-        for (i64 t = 0; t < nr; ++t) y[rows[r0 + t]] -= tmp[t];
+        for (i64 t = 0; t < nr; ++t) y[rowsU[r0 + t]] -= tmp[t];
       }
     }
   }
@@ -615,7 +852,7 @@ static void solve_impl(
       const i64 r0 = rows_ptr[k], nr = rows_ptr[k + 1] - r0;
       if (nr > 0) {
         tmp.assign((size_t)nr, T(0));
-        for (i64 t = 0; t < nr; ++t) tmp[t] = y[rows[r0 + t]];
+        for (i64 t = 0; t < nr; ++t) tmp[t] = y[rowsU[r0 + t]];
         if (nr * nc <= kSmallSolve) {
           // y[j0:] -= U12 tmp (U12 is (nc x nr) col-major)
           for (i64 j = 0; j < nr; ++j) {
@@ -713,7 +950,9 @@ static void solve_multi_impl(
     i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr, const i64 *rows,
     const i64 *l11_off, const i64 *l21_off,
     const T *L11, const T *L21, const T *D, const T *U11, const T *U12,
-    int kind, int transpose, i64 k, T *Y /* (n,k) rm, permuted, in-out */) {
+    int kind, int transpose, i64 k, T *Y /* (n,k) rm, permuted, in-out */,
+    const T *Dsub = nullptr, const i64 *rowsU = nullptr) {
+  if (!rowsU) rowsU = rows;
   std::vector<T> tmp;
   const blasint kb = (blasint)k;
   if (kind == 0 || !transpose) {
@@ -742,6 +981,19 @@ static void solve_multi_impl(
       }
       if (kind == 0)
         for (i64 j = 0; j < nc; ++j) {
+          if (Dsub && Dsub[j0 + j] != T(0)) {
+            const T a = D[j0 + j], b = Dsub[j0 + j], cc = D[j0 + j + 1];
+            const T det = a * cc - b * b;
+            T *y0 = &Y[(size_t)(j0 + j) * k];
+            T *y1 = &Y[(size_t)(j0 + j + 1) * k];
+            for (i64 c = 0; c < k; ++c) {
+              const T r0v = y0[c], r1v = y1[c];
+              y0[c] = (cc * r0v - b * r1v) / det;
+              y1[c] = (a * r1v - b * r0v) / det;
+            }
+            ++j;
+            continue;
+          }
           const T d = D[j0 + j];
           T *yj = &Y[(size_t)(j0 + j) * k];
           for (i64 c = 0; c < k; ++c) yj[c] /= d;
@@ -763,7 +1015,7 @@ static void solve_multi_impl(
         Blas<T>::gemm('N', 'N', kb, (blasint)nr, (blasint)nc, T(1), Yb, kb,
                       &U12[l21_off[s]], (blasint)nc, T(0), tmp.data(), kb);
         for (i64 t = 0; t < nr; ++t) {
-          T *yr = &Y[(size_t)rows[r0 + t] * k];
+          T *yr = &Y[(size_t)rowsU[r0 + t] * k];
           const T *tt = &tmp[(size_t)t * k];
           for (i64 c = 0; c < k; ++c) yr[c] -= tt[c];
         }
@@ -806,7 +1058,7 @@ static void solve_multi_impl(
       if (nr > 0) {
         tmp.assign((size_t)nr * k, T(0));
         for (i64 t = 0; t < nr; ++t) {
-          const T *yr = &Y[(size_t)rows[r0 + t] * k];
+          const T *yr = &Y[(size_t)rowsU[r0 + t] * k];
           T *tt = &tmp[(size_t)t * k];
           for (i64 c = 0; c < k; ++c) tt[c] = yr[c];
         }
@@ -877,6 +1129,72 @@ void mf_solve_multi_z(i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr,
                       const cd *U12, int kind, int transpose, i64 k, cd *Y) {
   solve_multi_impl<cd>(n, ns, snode_ptr, rows_ptr, rows, l11_off, l21_off, L11,
                        L21, D, U11, U12, kind, transpose, k, Y);
+}
+
+i64 mf_factorize_piv_d(i64 n, i64 ns, const i64 *snode_ptr,
+                       const i64 *rows_ptr, const i64 *rows,
+                       const i64 *sparent, const i64 *Ap, const i64 *Ai,
+                       const double *Ax, const i64 *l11_off,
+                       const i64 *l21_off, double *L11, double *L21,
+                       double *D, double *U11, double *U12, int kind,
+                       double eps, double *Dsub, i64 *pivperm,
+                       i64 *rows_out) {
+  return factorize_full<double>(n, ns, snode_ptr, rows_ptr, rows, sparent,
+                                Ap, Ai, Ax, l11_off, l21_off, L11, L21, D,
+                                U11, U12, kind, eps, Dsub, pivperm, rows_out);
+}
+
+i64 mf_factorize_piv_z(i64 n, i64 ns, const i64 *snode_ptr,
+                       const i64 *rows_ptr, const i64 *rows,
+                       const i64 *sparent, const i64 *Ap, const i64 *Ai,
+                       const cd *Ax, const i64 *l11_off, const i64 *l21_off,
+                       cd *L11, cd *L21, cd *D, cd *U11, cd *U12, int kind,
+                       double eps, cd *Dsub, i64 *pivperm, i64 *rows_out) {
+  return factorize_full<cd>(n, ns, snode_ptr, rows_ptr, rows, sparent, Ap,
+                            Ai, Ax, l11_off, l21_off, L11, L21, D, U11, U12,
+                            kind, eps, Dsub, pivperm, rows_out);
+}
+
+void mf_solve_piv_d(i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr,
+                    const i64 *rows, const i64 *l11_off, const i64 *l21_off,
+                    const double *L11, const double *L21, const double *D,
+                    const double *U11, const double *U12, int kind,
+                    int transpose, double *y, const double *Dsub,
+                    const i64 *rowsU) {
+  solve_impl<double>(n, ns, snode_ptr, rows_ptr, rows, l11_off, l21_off, L11,
+                     L21, D, U11, U12, kind, transpose, y, Dsub, rowsU);
+}
+
+void mf_solve_piv_z(i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr,
+                    const i64 *rows, const i64 *l11_off, const i64 *l21_off,
+                    const cd *L11, const cd *L21, const cd *D, const cd *U11,
+                    const cd *U12, int kind, int transpose, cd *y,
+                    const cd *Dsub, const i64 *rowsU) {
+  solve_impl<cd>(n, ns, snode_ptr, rows_ptr, rows, l11_off, l21_off, L11,
+                 L21, D, U11, U12, kind, transpose, y, Dsub, rowsU);
+}
+
+void mf_solve_multi_piv_d(i64 n, i64 ns, const i64 *snode_ptr,
+                          const i64 *rows_ptr, const i64 *rows,
+                          const i64 *l11_off, const i64 *l21_off,
+                          const double *L11, const double *L21,
+                          const double *D, const double *U11,
+                          const double *U12, int kind, int transpose, i64 k,
+                          double *Y, const double *Dsub,
+                          const i64 *rowsU) {
+  solve_multi_impl<double>(n, ns, snode_ptr, rows_ptr, rows, l11_off,
+                           l21_off, L11, L21, D, U11, U12, kind, transpose,
+                           k, Y, Dsub, rowsU);
+}
+
+void mf_solve_multi_piv_z(i64 n, i64 ns, const i64 *snode_ptr,
+                          const i64 *rows_ptr, const i64 *rows,
+                          const i64 *l11_off, const i64 *l21_off,
+                          const cd *L11, const cd *L21, const cd *D,
+                          const cd *U11, const cd *U12, int kind,
+                          int transpose, i64 k, cd *Y, const cd *Dsub) {
+  solve_multi_impl<cd>(n, ns, snode_ptr, rows_ptr, rows, l11_off, l21_off,
+                       L11, L21, D, U11, U12, kind, transpose, k, Y, Dsub);
 }
 
 }  // extern "C"
