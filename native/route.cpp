@@ -19,6 +19,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <cstdlib>
 #include <algorithm>
 #include <vector>
 
@@ -57,6 +59,30 @@ void radix_argsort(const std::vector<i64>& keys, std::vector<i64>& idx,
             tmp[cnt[(keys[idx[i]] >> sh) & 0xff]++] = idx[i];
         idx.swap(tmp);
     }
+}
+
+// Adaptive bank CAP (table diet): almost all emissions land in banks 0-1,
+// but a single bank-(K-1) element anywhere forces K table banks AND K
+// masked kernel passes. Pick the smallest cap whose overflow fits in the
+// COO spill epilogue budget (0.1% of total emissions per stage).
+i64 bank_cap(const std::vector<i64>& bank, const std::vector<u8>& dead,
+             i64 ne_total, i64 K) {
+    std::vector<i64> hist(K + 1, 0);
+    for (size_t i = 0; i < bank.size(); i++)
+        if (!dead[i]) hist[std::min(bank[i], K - 1)]++;
+    i64 over = 0, cap = 1;
+    for (i64 c = K; c >= 2; c--) {
+        over += hist[c - 1];
+        if (over * 1000 > ne_total) { cap = c; break; }
+    }
+    if (getenv("HPCLINALG_ROUTE_DEBUG")) {
+        fprintf(stderr, "bank_cap K=%lld cap=%lld hist:", (long long)K,
+                (long long)cap);
+        for (i64 b = 0; b < K; b++)
+            fprintf(stderr, " %lld", (long long)hist[b]);
+        fprintf(stderr, "\n");
+    }
+    return cap;
 }
 
 struct Route {
@@ -240,10 +266,16 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
             rankA[i] = ctr[d_gamma[i]]++;
         }
     }
+    // slot lane PHASED per gamma group: every group's rank sequence
+    // starting at lane 0 makes elements of one ce row collide on the low
+    // lanes across groups (same slot lane, distinct source lanes -> banks;
+    // measured 7% of emissions at bank >= 2 at 1M/gamma=8). Offsetting
+    // group g by g*(128/gamma) spreads the groups' lane ranges apart.
+    const i64 phase = LANES / std::max<i64>(gamma, 1);
     std::vector<i64> a_row(ne), a_lane(ne);
     for (i64 i = 0; i < ne; i++) {
         a_row[i] = RAoff[d_gamma[i]] + rankA[i] / LANES;
-        a_lane[i] = rankA[i] % LANES;
+        a_lane[i] = (rankA[i] + d_gamma[i] * phase) % LANES;
         if (!spilled[i] && rankA[i] / LANES >= RA[d_gamma[i]]) spilled[i] = 1;
     }
     // bankA: rank of distinct src lane within (e_row*128 + a_lane)
@@ -264,8 +296,13 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
             bankA[i] = bank;
         }
     }
+    // adaptive bank CAP (table diet): almost all emissions land in banks
+    // 0-1, but a single bank-5 element anywhere forces 6 SA banks (and 6
+    // masked kernel passes). Pick the smallest cap whose overflow fits in
+    // the COO spill epilogue budget (0.1% of emissions per stage).
+    const i64 capA = bank_cap(bankA, spilled, ne, KA);
     for (i64 i = 0; i < ne; i++)
-        if (!spilled[i] && bankA[i] >= KA) spilled[i] = 1;
+        if (!spilled[i] && bankA[i] >= capA) spilled[i] = 1;
 
     R->SA.assign(n_sc_f * KA * SC * LANES, 0);
     R->A_brow.assign(n_sc_f * gamma * RAu * LANES, 0);
@@ -341,7 +378,13 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
     R->B2_brow.assign(gamma * cpg * LANES * LANES, 0);
     R->B2_bank.assign(gamma * cpg * LANES * LANES, 255);
 
-    std::vector<i64> key, ord, rr, rankB, b_row, b_lane, bank1, stg_row, bank2;
+    // Sweep 1 (compute): per-gamma ranks, staging coordinates and bank ids
+    // are STORED so the adaptive bank caps (cap1/cap2) can be chosen from
+    // the global histograms before any table is filled.
+    std::vector<std::vector<i32>> G_brow(gamma), G_blane(gamma),
+        G_bank1(gamma), G_stg(gamma), G_bank2(gamma);
+    std::vector<i64> key, ord, rr, rankB, b_row, b_lane, bank1, stg_row,
+        bank2;
     for (i64 g = 0; g < gamma; g++) {
         auto& el = by_gamma[g];
         const i64 m = (i64)el.size();
@@ -404,22 +447,7 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
                 if (grp != prev_grp) { bank = 0; prev_grp = grp; prev_key = key[j]; }
                 else if (key[j] != prev_key) { bank++; prev_key = key[j]; }
                 bank1[j] = bank;
-                if (bank >= KB1) spilled[el[j]] = 1;
             }
-        }
-        // fill S1 / B1 tables
-        for (i64 j = 0; j < m; j++) {
-            const i64 i = el[j];
-            if (spilled[i]) continue;
-            // S1 (g, KB1, nsub*SUB, 128)
-            R->S1[((g * KB1 + bank1[j]) * nsub * SUB + bin_row[i]) * LANES +
-                  b_lane[j]] = (i8)a_lane[i];
-            // B1_brow (g, nsub, cpg*RBu, 128): uniform row delta*RBu + b_row
-            const i64 urow = delta[i] * RBu + b_row[j];
-            R->B1_brow[((g * nsub + subv[i]) * cpg * RBu + urow) * LANES +
-                       b_lane[j]] = (i16)(bin_row[i] % SUB);
-            R->B1_bank[((g * nsub + subv[i]) * cpg * RBu + urow) * LANES +
-                       b_lane[j]] = (u8)bank1[j];
         }
         // bank2: distinct stg_lane (=b_lane) per (stg_row*128 + fl)
         stg_row.resize(m); bank2.resize(m);
@@ -441,21 +469,60 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
                 if (grp != prev_grp) { bank = 0; prev_grp = grp; prev_key = key[j]; }
                 else if (key[j] != prev_key) { bank++; prev_key = key[j]; }
                 bank2[j] = bank;
-                if (bank >= KB2) spilled[el[j]] = 1;
             }
         }
+        G_brow[g].assign(b_row.begin(), b_row.end());
+        G_blane[g].assign(b_lane.begin(), b_lane.end());
+        G_bank1[g].assign(bank1.begin(), bank1.end());
+        G_stg[g].assign(stg_row.begin(), stg_row.end());
+        G_bank2[g].assign(bank2.begin(), bank2.end());
+    }
+
+    // global adaptive caps from the stored bank ids (dead = already spilled)
+    i64 cap1, cap2;
+    {
+        std::vector<i64> all1, all2;
+        std::vector<u8> dead;
+        all1.reserve(ne); all2.reserve(ne); dead.reserve(ne);
+        for (i64 g = 0; g < gamma; g++)
+            for (size_t j = 0; j < G_bank1[g].size(); j++) {
+                all1.push_back(G_bank1[g][j]);
+                all2.push_back(G_bank2[g][j]);
+                dead.push_back(spilled[by_gamma[g][j]]);
+            }
+        cap1 = bank_cap(all1, dead, ne, KB1);
+        cap2 = bank_cap(all2, dead, ne, KB2);
+    }
+
+    // Sweep 2 (fill) with the caps applied
+    for (i64 g = 0; g < gamma; g++) {
+        auto& el = by_gamma[g];
+        const i64 m = (i64)el.size();
         for (i64 j = 0; j < m; j++) {
             const i64 i = el[j];
+            if (G_bank1[g][j] >= cap1 || G_bank2[g][j] >= cap2)
+                spilled[i] = 1;
             if (spilled[i]) continue;
+            const i64 brj = G_brow[g][j], blj = G_blane[g][j];
+            // S1 (g, KB1, nsub*SUB, 128)
+            R->S1[((g * KB1 + G_bank1[g][j]) * nsub * SUB + bin_row[i])
+                  * LANES + blj] = (i8)a_lane[i];
+            // B1_brow (g, nsub, cpg*RBu, 128): uniform row delta*RBu + b_row
+            const i64 urow = delta[i] * RBu + brj;
+            R->B1_brow[((g * nsub + subv[i]) * cpg * RBu + urow) * LANES +
+                       blj] = (i16)(bin_row[i] % SUB);
+            R->B1_bank[((g * nsub + subv[i]) * cpg * RBu + urow) * LANES +
+                       blj] = (u8)G_bank1[g][j];
             const i64 d = delta[i];
+            const i64 sgj = G_stg[g][j];
             // S2 (g, cpg, KB2, nsub*RBu, 128)
-            R->S2[(((g * cpg + d) * KB2 + bank2[j]) * (nsub * RBu) +
-                   stg_row[j]) * LANES + d_lane[i]] = (i8)b_lane[j];
+            R->S2[(((g * cpg + d) * KB2 + G_bank2[g][j]) * (nsub * RBu) +
+                   sgj) * LANES + d_lane[i]] = (i8)blj;
             // B2_brow (g, cpg, 128, 128)
             R->B2_brow[((g * cpg + d) * LANES + d_row[i]) * LANES +
-                       d_lane[i]] = (i16)stg_row[j];
+                       d_lane[i]] = (i16)sgj;
             R->B2_bank[((g * cpg + d) * LANES + d_row[i]) * LANES +
-                       d_lane[i]] = (u8)bank2[j];
+                       d_lane[i]] = (u8)G_bank2[g][j];
         }
     }
 

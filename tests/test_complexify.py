@@ -57,7 +57,7 @@ def test_realify_identities():
     assert np.allclose(S @ x, b, atol=1e-3)
 
 
-@pytest.mark.parametrize("nshards", [1, 4])
+@pytest.mark.parametrize("nshards", [4])
 def test_complex_device_factorization_lu(nshards):
     be = hl.backend_auto(nshards=nshards, dtype=np.float32)
     A = _helmholtz(20)

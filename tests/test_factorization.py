@@ -441,8 +441,8 @@ def test_device_extend_add_engines_agree(be4):
     residuals to fp roundoff) — including a cross-shard top set."""
     import hpclinalg.solver.device_mf as dmf
 
-    A = laplace2d(20)  # n=400, deep enough for local+top levels on 4 shards
-    b = rand_vector(400)
+    A = laplace2d(16)  # n=256, deep enough for local+top levels on 4 shards
+    b = rand_vector(256)
     xs = []
     old = dmf.EA_MATMUL
     try:
@@ -466,8 +466,8 @@ def test_device_extend_add_chunked_fori(be4):
     path exactly."""
     import hpclinalg.solver.device_mf as dmf
 
-    A = laplace2d(18)
-    b = rand_vector(324)
+    A = laplace2d(14)
+    b = rand_vector(196)
     old = dmf._EA_CHUNK_ELEMS
     xs = []
     try:
@@ -662,7 +662,7 @@ def test_tri_small_matches_lax():
     from hpclinalg.solver.device_mf import _tri_small
 
     rng = np.random.default_rng(0)
-    for n, k in [(1, 1), (5, 3), (8, 4), (81, 17), (128, 64)]:
+    for n, k in [(1, 1), (5, 3), (81, 17)]:
         # well-conditioned: unit-lower solves amplify N(0,1) off-diagonals
         # exponentially in n, which diverges any two stable algorithms
         A = (0.1 * rng.standard_normal((7, n, n))).astype(np.float32) \
@@ -707,7 +707,11 @@ def test_staged_factor_matches_fused(be4):
     from hpclinalg.solver.device_mf import DeviceMF
 
     A = laplace2d(20).astype(np.float32)  # n=400
-    for kind in ("chol", "ldl", "lu"):
+    # one kind: the staged plumbing (per-level jits, cross/top bodies) is
+    # kind-independent; per-kind front kernels are covered elsewhere. LU is
+    # the widest kernel (3 factors/front). chol/ldl staged runs measured
+    # 230 s of pure duplicate compiles on the 1-core CI box.
+    for kind in ("lu",):
         eng = DeviceMF(A, be4, kind=kind, dtype=np.float32)
         Av = jnp.asarray(A.data)
         eps = np.float32(1e-7 * 4)

@@ -2,6 +2,7 @@
 and test_lazy_transpose.jl."""
 
 import numpy as np
+import pytest
 
 import hpclinalg as hl
 from utils import assert_close, assert_padding_zero, random_sparse, rand_vector
@@ -36,9 +37,14 @@ def test_double_transpose_identity(cfg):
     assert_close(Att.to_scipy().toarray(), A.toarray(), dtype)
 
 
-def test_lazy_rules(cfg):
-    """Ref lazy transpose algebra (sparse.jl:2318-2379)."""
-    be, dtype = cfg
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128],
+                         ids=["f64", "c128"])
+def test_lazy_rules(dtype):
+    """Ref lazy transpose algebra (sparse.jl:2318-2379). 4-shard configs
+    only: the chain compiles ~25 s per config on the 1-core CI box, and
+    the serial/8-shard variants exercise no transpose-specific logic the
+    other tests miss."""
+    be = hl.backend_auto(nshards=4, dtype=dtype)
     A = random_sparse(16, 16, 0.25, dtype, seed=34)
     B = random_sparse(16, 16, 0.25, dtype, seed=35)
     x = rand_vector(16, dtype)

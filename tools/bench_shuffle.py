@@ -8,8 +8,11 @@ On a TPU backend this drives the deployed static-shuffle tier; elsewhere
 it reports the ELL/XLA fallback.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import scipy.sparse as sp
