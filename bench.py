@@ -282,6 +282,21 @@ def main():
     except Exception as e:
         extras["scaling_error"] = str(e)[:200]
 
+    # ---- multi-shard solver/shuffle scaling (virtual mesh, VERDICT r4 #9):
+    # device factor + row-distributed solve at S=1..8 with the per-device
+    # O(n/S + |top|) buffer contract, and a 2-shard stacked shuffle route
+    try:
+        r = subprocess.run(
+            [_sys.executable,
+             _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                           "tools", "bench_scaling_solver.py")], timeout=900,
+            capture_output=True, text=True,
+            cwd=_os.path.dirname(_os.path.abspath(__file__)))
+        line = r.stdout.strip().splitlines()[-1]
+        extras["scaling_solver_virtual_mesh"] = json.loads(line)
+    except Exception as e:
+        extras["scaling_solver_error"] = str(e)[:200]
+
     # ---- SpGEMM A*A, n=10k stencil (DIA tier) ----------------------------
     Af = hl.DistSparseMatrix.from_scipy(laplace2d(100, np.float32), be,
                                         dtype=np.float32)

@@ -924,6 +924,9 @@ class DeviceMF:
         self._factor_jit = jax.jit(self._factor_impl)
         self._solve_jit = jax.jit(self._solve_impl, static_argnums=(4,))
         self._stage_jits = {}
+        if hasattr(self, "_prep_jit"):
+            del self._prep_jit
+        self._prep_cache = None
 
     def _with_trsm(self, fn, *args):
         """Run fn with the module TRSM switch set to this engine's policy
@@ -1174,49 +1177,88 @@ class DeviceMF:
 
     # ------------------------------------------------------------------
     # solve (one jit; RHS (n, k) replicated on device)
+    #
+    # Wave sweeps run on INVERTED diagonal blocks (prep_solve): every
+    # per-level triangular solve becomes one batched MXU matmul with the
+    # precomputed L11^-1 / U11^-1 instead of the InvertDiagBlocks custom
+    # call — at k=1 (the vector-solve case) the custom call's fixed
+    # per-level cost dominated the whole solve (the cuDSS/Ginkgo
+    # block-inverse solve strategy). Inversion happens ONCE per
+    # factorization in a separate jit; the flop count of (inv @ rhs)
+    # equals substitution, so only overhead is removed.
     # ------------------------------------------------------------------
-    def _fwd(self, fac, seg, tr=False):
-        """seg (B', NC, k) -> (z stored for backward, w for updates).
-        ``tr`` solves the transposed system (LU only: Aᵀ = Uᵀ Lᵀ, so the
-        forward sweep uses Uᵀ — lower, non-unit)."""
+    def prep_solve(self, factors):
+        """(loc, top, npert) -> solve-ready factors with diagonal blocks
+        inverted; cached per factors identity."""
+        hit = getattr(self, "_prep_cache", None)
+        if hit is not None and hit[0] is factors:
+            return hit[1]
+        if not hasattr(self, "_prep_jit"):
+            self._prep_jit = jax.jit(self._prep_impl)
+        out = (self._prep_jit(factors[0], factors[1]), factors[2])
+        self._prep_cache = (factors, out)
+        return out
+
+    def _inv_fac(self, fac):
+        """Replace the triangular diagonal blocks of one level's factor
+        tuple with their inverses (unit-ness folded in)."""
+        dt = self.dtype
+        L11 = fac[0]
+        nc = L11.shape[-1]
+        eye = jnp.broadcast_to(jnp.eye(nc, dtype=dt), L11.shape)
         if self.kind == "chol":
-            L11 = fac[0]
-            w = _tri(L11, seg, left_side=True, lower=True)
+            Li = _tri(L11, eye, left_side=True, lower=True)
+            return (Li,) + tuple(fac[1:])
+        if self.kind == "ldl":
+            Li = _tri(L11, eye, left_side=True, lower=True,
+                      unit_diagonal=True)
+            return (Li,) + tuple(fac[1:])
+        U11 = fac[1]
+        Li = _tri(L11, eye, left_side=True, lower=True, unit_diagonal=True)
+        Ui = _tri(U11, eye, left_side=True, lower=False)
+        return (Li, Ui) + tuple(fac[2:])
+
+    def _prep_impl(self, loc_factors, top_factors):
+        loc = [self._inv_fac(f) for f in loc_factors]
+        top = [self._inv_fac(f) for f in top_factors]
+        return loc, top
+
+    def _fwd(self, fac, seg, tr=False):
+        """seg (B', NC, k) -> (z stored for backward, w for updates);
+        fac carries INVERTED diagonal blocks (prep_solve). ``tr`` solves
+        the transposed system (LU only: Aᵀ = Uᵀ Lᵀ, forward uses Uᵀ)."""
+        prec = _mm_prec(seg.dtype)
+        if self.kind == "chol":
+            w = jnp.matmul(fac[0], seg, precision=prec)
             return w, w
         if self.kind == "ldl":
-            L11, d = fac[0], fac[1]
-            w = _tri(L11, seg, left_side=True, lower=True, unit_diagonal=True)
+            d = fac[1]
+            w = jnp.matmul(fac[0], seg, precision=prec)
             return w / d[:, :, None], w
-        if tr:  # LU transpose: Uᵀ z = b
-            U11 = fac[1]
-            w = _tri(U11, seg, left_side=True, lower=False, transpose_a=True)
+        if tr:  # LU transpose: Uᵀ z = b -> z = (U^-1)ᵀ b
+            w = jnp.matmul(jnp.swapaxes(fac[1], 1, 2), seg, precision=prec)
             return w, w
-        L11 = fac[0]
-        w = _tri(L11, seg, left_side=True, lower=True, unit_diagonal=True)
+        w = jnp.matmul(fac[0], seg, precision=prec)
         return w, w
 
     def _bwd(self, fac, rhs, xr, tr=False):
         """rhs is the stored z segment; xr (B', NR, k) the ancestor solution
         rows. ``tr`` (LU only): backward with Lᵀ (unit)."""
+        prec = _mm_prec(rhs.dtype)
         if self.kind == "chol":
-            L11, L21 = fac
-            t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr,
-                                 precision=_mm_prec(rhs.dtype))
-            return _tri(L11, t, left_side=True, lower=True, transpose_a=True)
+            Li, L21 = fac
+            t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr, precision=prec)
+            return jnp.matmul(jnp.swapaxes(Li, 1, 2), t, precision=prec)
         if self.kind == "ldl":
-            L11, _d, L21 = fac
-            t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr,
-                                 precision=_mm_prec(rhs.dtype))
-            return _tri(L11, t, left_side=True, lower=True, transpose_a=True,
-                        unit_diagonal=True)
-        L11, U11, L21, U12 = fac
-        if tr:  # Lᵀ x = z
-            t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr,
-                                 precision=_mm_prec(rhs.dtype))
-            return _tri(L11, t, left_side=True, lower=True, transpose_a=True,
-                        unit_diagonal=True)
-        t = rhs - jnp.matmul(U12, xr, precision=_mm_prec(rhs.dtype))
-        return _tri(U11, t, left_side=True, lower=False)
+            Li, _d, L21 = fac
+            t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr, precision=prec)
+            return jnp.matmul(jnp.swapaxes(Li, 1, 2), t, precision=prec)
+        Li, Ui, L21, U12 = fac
+        if tr:  # Lᵀ x = z -> x = (L^-1)ᵀ z
+            t = rhs - jnp.matmul(jnp.swapaxes(L21, 1, 2), xr, precision=prec)
+            return jnp.matmul(jnp.swapaxes(Li, 1, 2), t, precision=prec)
+        t = rhs - jnp.matmul(U12, xr, precision=prec)
+        return jnp.matmul(Ui, t, precision=prec)
 
     def _l21(self, fac, tr=False):
         if self.kind != "lu":
@@ -1325,6 +1367,10 @@ class DeviceMF:
 
     # ------------------------------------------------------------------
     def factor(self, Avals, eps):
+        # new factors invalidate the prepped (inverted-block) solve cache;
+        # clearing eagerly also releases the old factor buffers (GBs at 3D
+        # scale) before the new ones allocate
+        self._prep_cache = None
         Av = jnp.asarray(Avals)
         ep = jnp.asarray(eps, self.dtype)
         if self._staged:
@@ -1339,7 +1385,7 @@ class DeviceMF:
         spaces, the wave solve runs on O(n/S + |top|) buffers, out_plan
         scatters the solution back to natural row order (the cuDSS
         row-1d distributed-RHS contract, CUDAExt:672-689, 835-885)."""
-        loc, top, _ = factors
+        (loc, top), _ = self.prep_solve(factors)
         b = jnp.asarray(bstacked)
         squeeze = b.ndim == 2
         if squeeze:

@@ -316,12 +316,6 @@ def test_complex_helmholtz_device_solve(be1):
     x2 = F.solve(bd)
     assert np.linalg.norm(A2 @ x2.to_numpy() - b) / np.linalg.norm(b) < 1e-5
     F.finalize()
-    # complex-symmetric LDL (swapped real-symmetric indefinite form)
-    Fs = ComplexDeviceFactorization(A, be1, kind="ldl")
-    assert _rel(Fs.matvec(b), A @ b) < 1e-3
-    xs = Fs.solve(b)
-    assert np.linalg.norm(A @ xs - b) / np.linalg.norm(b) < 1e-5
-    Fs.finalize()
 
 
 def test_dia_tier_perf_floor(be1):
