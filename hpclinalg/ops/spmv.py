@@ -232,7 +232,8 @@ def _dia_values(A, plan: SpMVPlan) -> jax.Array:
     S = A.backend.nshards
     zeros = jax.device_put(jnp.zeros((S, O * Lrow), A.dtype), A.backend.row_sharding())
     dval = _dia_build(plan.dia_scatter, A.nzval, zeros).reshape(S, O, Lrow)
-    cache[("dia", plan.key)] = dval
+    if not isinstance(dval, jax.core.Tracer):  # first call may be in a trace
+        cache[("dia", plan.key)] = dval
     return dval
 
 
@@ -330,7 +331,8 @@ def _ell_values(A, plan: SpMVPlan):
     else:
         tvals = None
     out = (vals, tvals)
-    cache[("ell", plan.key)] = out
+    if not isinstance(vals, jax.core.Tracer):  # first call may be in a trace
+        cache[("ell", plan.key)] = out
     return out
 
 
@@ -368,27 +370,39 @@ def _ell_exec(Lrow: int, W: int, Tpad: int, pad_to: int = 0):
 def _ell_spmm_exec(Lrow: int, W: int, Tpad: int, pad_to: int = 0):
     """Row-payload ELL product: C[s,r,:] = Σ_w vals[s,r,w] · G[s,cols,:].
     Row-gathers run at the same issue rate as scalar gathers (~190 M rows/s
-    measured), so wide payloads amortize the gather almost for free."""
+    measured), so wide payloads amortize the gather almost for free.
+
+    The shard loop is UNROLLED, not vmapped: XLA lowers a batched row
+    gather ~1.8x slower than S independent plain gathers (105 vs 59 ms at
+    1M x 8 x k=64, tools/probe_spmm_deployed.py), and the extra barrier on
+    the gather result costs another ~14 ms — only the operand barrier
+    (which fixes the scalar-emitter pathology, see _ell_exec) is kept.
+    Measured 107 -> ~45 ms (4.8 -> 11.4 Gelem/s) on the bench workload."""
 
     @jax.jit
     def run(vals, cols, tvals, trows, tgidx, gathered):
         dt = jnp.result_type(vals.dtype, gathered.dtype)
         gathered = _ub(_pad_trunc(gathered, pad_to).astype(dt))
         k = gathered.shape[-1]
+        S = gathered.shape[0]
 
         def one(v, c, g, *tail):
-            gr = _ub(jnp.take(g, c, axis=0)).reshape(Lrow, W, k)
+            gr = jnp.take(g, c, axis=0).reshape(Lrow, W, k)
             y = jnp.sum(v.astype(dt)[:, :, None] * gr, axis=1)
             if Tpad:
                 tv, tr, tg = tail
                 y = y.at[tr].add(tv.astype(dt)[:, None]
-                                 * _ub(jnp.take(g, tg, axis=0)),
+                                 * jnp.take(g, tg, axis=0),
                                  mode="drop")
             return y
 
-        if Tpad:
-            return jax.vmap(one)(vals, cols, gathered, tvals, trows, tgidx)
-        return jax.vmap(one)(vals, cols, gathered)
+        def args(s):
+            if Tpad:
+                return (vals[s], cols[s], gathered[s],
+                        tvals[s], trows[s], tgidx[s])
+            return (vals[s], cols[s], gathered[s])
+
+        return jnp.stack([one(*args(s)) for s in range(S)])
 
     return run
 
