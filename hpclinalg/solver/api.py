@@ -167,6 +167,7 @@ class Factorization:
         self.dtype = np.dtype(np.complex128 if np.issubdtype(
             np.dtype(A.dtype), np.complexfloating) else np.float64)
         self._A_host = None
+        self._growth: float | None = None
         self.cperm: np.ndarray | None = None  # MC64-role column permutation
         self.sym = _get_symbolic(A)
         self._lib = load_mf()
@@ -198,6 +199,7 @@ class Factorization:
             # pivot of a small-magnitude matrix)
             eps = _PERT_REL * (anorm if anorm > 0 else 1.0)
             csc = self._csc_for(A, vals)
+            self._growth = None
             self.native.factorize(self._lib, csc, self.kind, eps,
                                   pivot=self.cperm is not None)
             if self._unstable():
@@ -208,6 +210,7 @@ class Factorization:
                 # mumps_factorization.jl:176-224). The fast unpivoted
                 # kernels stay the default for the overwhelmingly common
                 # well-pivoted case.
+                self._growth = None
                 self.native.factorize(self._lib, csc, self.kind, eps,
                                       pivot=True)
             if self._unstable() and self.kind == "lu" \
@@ -221,6 +224,7 @@ class Factorization:
                     self.cperm = cperm
                     self.sym = _get_symbolic_cp(A, cperm)
                     self.native = NativeFactor(self.sym, self.dtype)
+                    self._growth = None
                     self.native.factorize(self._lib, self._csc_for(A, vals),
                                           self.kind, eps, pivot=True)
         else:
@@ -230,12 +234,18 @@ class Factorization:
 
     def _factor_growth(self) -> float:
         """Max |L| entry — the growth monitor deciding pivot escalation
-        and the refinement default (bounded for pivoted factors)."""
+        and the refinement default (bounded for pivoted factors). Memoized
+        per numeric factorization: the headline refactorize+solve loop
+        otherwise scans the full factor 3x per iteration (_unstable twice,
+        _clean once — ~1.5 ms of an 8 ms budget at n=10k)."""
+        if self._growth is not None:
+            return self._growth
         nf = self.native
         g = 0.0
         for a in (nf.L11, nf.L21):
             if a.size:
                 g = max(g, float(np.abs(a).max()))
+        self._growth = g
         return g
 
     def _unstable(self) -> bool:

@@ -183,8 +183,8 @@ class NativeFactor:
             rc = self._fn(lib, "factorize_piv")(
                 self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
                 self.rows, self.sparent,
-                Ap_csc.indptr.astype(np.int64),
-                Ap_csc.indices.astype(np.int64),
+                np.asarray(Ap_csc.indptr, np.int64),
+                np.asarray(Ap_csc.indices, np.int64),
                 Ax, self.l11_off, self.l21_off,
                 self.L11, self.L21, self.D, self.U11, self.U12,
                 2 if kind == "ldlt" else 3, eps,
@@ -197,8 +197,8 @@ class NativeFactor:
             rc = self._fn(lib, "factorize")(
                 self.sym.n, self.sym.nsuper, self.snode_ptr, self.rows_ptr,
                 self.rows, self.sparent,
-                Ap_csc.indptr.astype(np.int64),
-                Ap_csc.indices.astype(np.int64),
+                np.asarray(Ap_csc.indptr, np.int64),
+                np.asarray(Ap_csc.indices, np.int64),
                 Ax, self.l11_off, self.l21_off,
                 self.L11, self.L21, self.D, self.U11, self.U12,
                 0 if kind == "ldlt" else 1, eps,
