@@ -55,6 +55,23 @@ def enable_compile_cache(path: str | None = None,
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
 
 
+def enable_route_cache(path: str | None = None) -> None:
+    """Enable disk persistence of shuffle-engine route tables.
+
+    A first-time 1M-dof random-sparsity structure pays ~10 s of route
+    analysis; the tables are pure functions of (structure hash, partition,
+    backend), so persisting them makes every later process with the same
+    structure load in ~1 s instead. Off by default (entries are hundreds
+    of MB); the ``HPCLINALG_ROUTE_CACHE`` env var overrides (a path, or
+    ``0`` to force off), ``HPCLINALG_ROUTE_CACHE_BYTES`` caps the dir
+    (default 4 GiB, LRU by mtime)."""
+    from .ops import pallas_shuffle
+
+    if path is None:
+        path = f"/tmp/hpclinalg_routes_{_machine_fingerprint()}"
+    pallas_shuffle._route_cache_default = path
+
+
 def _make_cache_writes_atomic() -> None:
     """Patch the JAX disk-cache writer to write-temp-then-rename.
 

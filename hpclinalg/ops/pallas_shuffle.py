@@ -692,7 +692,37 @@ def build_spmv_shuffle(A, plan, xlen):
             _pad_banks(rebuilt, KAe, KB1e, KB2e)  # numpy-fallback stacks
         return _StackedRoutes(rebuilt)
 
-    return cached_plan("spmv_shuffle", ("shuffle-bi", plan.key, xlen), build)
+    def build_or_load():
+        import hashlib
+        import os
+
+        d = _route_cache_dir()
+        if d is None:
+            return build()
+        keyh = hashlib.blake2b(
+            repr(("shuffle-bi", _ROUTE_FORMAT, plan.key, xlen)).encode(),
+            digest_size=12).hexdigest()
+        path = os.path.join(d, f"route-{keyh}.npz")
+        if os.path.exists(path):
+            try:
+                return load_route(path)
+            except Exception:  # corrupt/stale entry: rebuild
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+        r = build()
+        try:
+            save_route(r, path)
+            cap = int(os.environ.get("HPCLINALG_ROUTE_CACHE_BYTES",
+                                     4 << 30))
+            _sweep_route_cache(d, cap)
+        except Exception:
+            pass  # persistence is best-effort; the route itself is good
+        return r
+
+    return cached_plan("spmv_shuffle", ("shuffle-bi", plan.key, xlen),
+                       build_or_load)
 
 
 def _pad_banks(routes, KAe, KB1e, KB2e):
@@ -760,6 +790,127 @@ class _StackedRoutes:
 
     def table_bytes(self) -> int:
         return sum(r.table_bytes() for r in self.routes)
+
+
+# ---------------------------------------------------------------------------
+# route persistence — the plan analogue of the XLA compile disk cache.
+#
+# A 1M x 8nnz route build is ~10 s of host analysis; the resulting tables
+# are pure functions of (matrix structure, x partition), the same key the
+# in-process plan cache uses. Persisting them means a session — or a later
+# process — pays the build once per structure (the ref's plans are
+# per-session objects, sparse.jl:1875-1984; the compiled-artifact disk
+# cache is the TPU-native extension, matching enable_compile_cache).
+# ---------------------------------------------------------------------------
+
+_TABLE_KEYS = ("win", "win_rel", "M", "SA", "A_rel", "A_sel", "S1",
+               "B1_rel", "B1_sel", "S2", "B2_rel", "B2_sel")
+_GEOM_KEYS = ("n_sc", "gamma", "cpg", "RAu", "nsub", "RBu", "KAe", "KB1e",
+              "KB2e", "SCG", "PA", "PB", "PS", "TP_A", "TP_B", "stage_rows")
+_ROUTE_FORMAT = 1          # bump to invalidate persisted routes
+_route_cache_default = None  # set by config.enable_route_cache
+
+
+def _route_dict(r: "PackedRoute", prefix: str = "") -> dict:
+    d = {prefix + "geom": np.array([getattr(r, k) for k in _GEOM_KEYS],
+                                   np.int64),
+         prefix + "plan_meta": np.array([r.plan.nsrc, r.plan.ndest],
+                                        np.int64),
+         prefix + "spill_dst": np.asarray(r.plan.spill_dst, np.int64),
+         prefix + "spill_src": np.asarray(r.plan.spill_src, np.int64)}
+    for k in _TABLE_KEYS:
+        d[prefix + k] = np.asarray(getattr(r, k))
+    for k in ("A_live", "B1_live", "B2_live"):
+        d[prefix + k] = np.asarray(getattr(r, k), np.int64)
+    return d
+
+
+def _route_from_dict(z, prefix: str = "") -> "PackedRoute":
+    r = PackedRoute.__new__(PackedRoute)
+    for k, v in zip(_GEOM_KEYS, z[prefix + "geom"]):
+        setattr(r, k, int(v))
+    nsrc, ndest = (int(v) for v in z[prefix + "plan_meta"])
+    sd = np.ascontiguousarray(z[prefix + "spill_dst"])
+    ss = np.ascontiguousarray(z[prefix + "spill_src"])
+    r.plan = _PlanStub(nsrc, ndest, sd, ss)
+    for k in _TABLE_KEYS:
+        setattr(r, k, jnp.asarray(z[prefix + k]))
+    for k in ("A_live", "B1_live", "B2_live"):
+        setattr(r, k, [int(c) for c in z[prefix + k]])
+    r.spill_dst = jnp.asarray(sd.astype(np.int32)) if len(sd) else None
+    r.spill_src = jnp.asarray(ss.astype(np.int32)) if len(ss) else None
+    return r
+
+
+def save_route(packed, path: str) -> None:
+    """Persist a PackedRoute/_StackedRoutes as an uncompressed .npz,
+    written atomically (temp + rename) so interrupted runs never leave a
+    truncated entry (same discipline as config._make_cache_writes_atomic)."""
+    import os
+    import uuid
+
+    if isinstance(packed, _StackedRoutes):
+        d = {"n_routes": np.int64(len(packed.routes))}
+        for i, r in enumerate(packed.routes):
+            d.update(_route_dict(r, f"r{i}_"))
+    else:
+        d = {"n_routes": np.int64(0)}
+        d.update(_route_dict(packed))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    # np.savez appends '.npz' unless the name already ends with it
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp.npz"
+    try:
+        np.savez(tmp, **d)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def load_route(path: str):
+    """Load a route persisted by save_route (device upload happens here)."""
+    with np.load(path) as z:
+        n = int(z["n_routes"])
+        if n == 0:
+            return _route_from_dict(z)
+        return _StackedRoutes([_route_from_dict(z, f"r{i}_")
+                               for i in range(n)])
+
+
+def _route_cache_dir():
+    import os
+
+    env = os.environ.get("HPCLINALG_ROUTE_CACHE")
+    if env is not None:
+        return None if env in ("", "0") else env
+    return _route_cache_default
+
+
+def _sweep_route_cache(d: str, keep_bytes: int) -> None:
+    """Drop oldest entries (by mtime) until the dir fits keep_bytes."""
+    import os
+
+    try:
+        ents = []
+        for name in os.listdir(d):
+            full = os.path.join(d, name)
+            if name.endswith(".tmp.npz"):
+                os.unlink(full)
+                continue
+            if name.endswith(".npz"):
+                st = os.stat(full)
+                ents.append((st.st_mtime, st.st_size, full))
+        total = sum(e[1] for e in ents)
+        for mt, sz, full in sorted(ents):
+            if total <= keep_bytes:
+                break
+            os.unlink(full)
+            total -= sz
+    except OSError:
+        pass
 
 
 @lru_cache(maxsize=None)

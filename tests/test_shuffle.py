@@ -215,3 +215,74 @@ def test_shuffle_spmv_spill_epilogue_interpret():
         assert err < 2e-6, err
     finally:
         spmv_mod.DENSE_MAX_ELEMS = old
+
+
+def test_route_save_load_roundtrip(tmp_path):
+    """Persisted routes (save_route/load_route) reproduce the simulator
+    exactly after a disk round-trip — both the native-built single route
+    and the numpy fallback; geometry, live codes, and spill epilogue all
+    survive serialization."""
+    import jax.numpy as jnp
+
+    from hpclinalg.ops.pallas_shuffle import (PackedRoute, load_route,
+                                              save_route, shuffle_apply)
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    nd = 30000
+    src = rng.integers(0, n, nd).astype(np.int64)
+    src[rng.random(nd) < 0.04] = -1
+    packed = PackedRoute.from_native(src, n)
+    if packed is None:
+        packed = PackedRoute(build_route(src, n))
+    p = str(tmp_path / "route.npz")
+    save_route(packed, p)
+    loaded = load_route(p)
+    for k in ("n_sc", "gamma", "cpg", "RAu", "nsub", "RBu",
+              "KAe", "KB1e", "KB2e"):
+        assert getattr(loaded, k) == getattr(packed, k), k
+    assert loaded.A_live == list(packed.A_live)
+    x = rng.standard_normal(n).astype(np.float32)
+    ref = np.asarray(shuffle_apply(packed, jnp.asarray(x), interpret=True))
+    out = np.asarray(shuffle_apply(loaded, jnp.asarray(x), interpret=True))
+    assert np.array_equal(out, ref)
+
+
+def test_route_disk_cache_build_once(tmp_path, monkeypatch):
+    """build_spmv_shuffle persists through HPCLINALG_ROUTE_CACHE: a second
+    process-level build (plan cache cleared) loads from disk instead of
+    rebuilding, and the loaded plan's SpMV matches scipy."""
+    import scipy.sparse as sp
+
+    import hpclinalg as hl
+    from hpclinalg.cache import clear_plan_cache
+    from hpclinalg.ops import pallas_shuffle
+    from hpclinalg.ops.pallas_shuffle import build_spmv_shuffle
+    from hpclinalg.ops.spmv import get_spmv_plan
+
+    monkeypatch.setenv("HPCLINALG_ROUTE_CACHE", str(tmp_path))
+    rng = np.random.default_rng(7)
+    n = 2048
+    A = sp.random(n, n, density=4.0 / n, random_state=3,
+                  format="csr", dtype=np.float64)
+    A = A + sp.eye(n, format="csr")
+    be = hl.backend_auto(nshards=1)
+    Ad = hl.DistSparseMatrix.from_scipy(A.tocsr(), be)
+    xv = hl.DistVector.from_global(rng.standard_normal(n), be)
+    plan = get_spmv_plan(Ad, xv)
+    r1 = build_spmv_shuffle(Ad, plan, n)
+    files = [f for f in (tmp_path).iterdir() if f.suffix == ".npz"]
+    assert len(files) == 1, "route was not persisted"
+    clear_plan_cache("spmv_shuffle")
+    calls = {"n": 0}
+    orig = pallas_shuffle.PackedRoute.from_native.__func__
+
+    def counting(cls, *a, **kw):
+        calls["n"] += 1
+        return orig(cls, *a, **kw)
+
+    monkeypatch.setattr(pallas_shuffle.PackedRoute, "from_native",
+                        classmethod(counting))
+    r2 = build_spmv_shuffle(Ad, plan, n)
+    assert calls["n"] == 0, "second build should load from disk"
+    assert r2.table_bytes() == r1.table_bytes()
