@@ -705,13 +705,16 @@ def build_spmv_shuffle(A, plan, xlen):
         path = os.path.join(d, f"route-{keyh}.npz")
         if os.path.exists(path):
             try:
-                return load_route(path)
+                r = load_route(path)
+                r.from_disk = True  # provenance for benchmarks/diagnostics
+                return r
             except Exception:  # corrupt/stale entry: rebuild
                 try:
                     os.unlink(path)
                 except OSError:
                     pass
         r = build()
+        r.from_disk = False
         try:
             save_route(r, path)
             cap = int(os.environ.get("HPCLINALG_ROUTE_CACHE_BYTES",

@@ -167,6 +167,7 @@ class Factorization:
         self.dtype = np.dtype(np.complex128 if np.issubdtype(
             np.dtype(A.dtype), np.complexfloating) else np.float64)
         self._A_host = None
+        self._csc_buf = None
         self._growth: float | None = None
         self.cperm: np.ndarray | None = None  # MC64-role column permutation
         self.sym = _get_symbolic(A)
@@ -177,10 +178,13 @@ class Factorization:
         self._numeric(A)
 
     def _numeric(self, A):
-        vals = _csr_values(A).astype(self.dtype)
+        vals = _csr_values(A).astype(self.dtype, copy=False)
         # host CSR copy for refinement residuals (values refreshed with the
-        # factorization; structure cached). Host residuals avoid device
+        # factorization; structure cached, value refresh LAZY — only the
+        # refinement/escalation paths read it, so the common clean
+        # refactorize skips the O(nnz) copy). Host residuals avoid device
         # round-trips and f32 truncation on TPUs without x64.
+        self._A_vals = vals
         if self._A_host is None:
             # pattern from replicated metadata + the values we already
             # pulled — avoids a second full device->host nzval transfer.
@@ -191,8 +195,9 @@ class Factorization:
             M = A.pattern_csr().astype(self.dtype)
             M.data[:] = vals
             self._A_host = M
+            self._A_host_stale = False
         else:
-            self._A_host.data[:] = vals
+            self._A_host_stale = True
         if self.native is not None:
             anorm = float(np.abs(vals).max()) if vals.size else 0.0
             # relative threshold (no 1.0 floor: it would perturb every
@@ -219,7 +224,7 @@ class Factorization:
                 # pool: escalate to the MC64-role column permutation
                 # (strong diagonal by construction) and refactor on the
                 # permuted pattern — the MUMPS ICNTL(6) preprocessing role
-                cperm = _colperm_matching(self._A_host)
+                cperm = _colperm_matching(self._host_matrix())
                 if cperm is not None:
                     self.cperm = cperm
                     self.sym = _get_symbolic_cp(A, cperm)
@@ -229,6 +234,14 @@ class Factorization:
                                           self.kind, eps, pivot=True)
         else:
             self.num = factorize(self.sym, A.to_scipy(), self.kind)
+
+    def _host_matrix(self):
+        """The host CSR copy with CURRENT values (lazy refresh — see
+        _numeric)."""
+        if self._A_host_stale:
+            self._A_host.data[:] = self._A_vals
+            self._A_host_stale = False
+        return self._A_host
 
     _GROWTH_MAX = 1e8
 
@@ -241,10 +254,15 @@ class Factorization:
         if self._growth is not None:
             return self._growth
         nf = self.native
-        g = 0.0
-        for a in (nf.L11, nf.L21):
-            if a.size:
-                g = max(g, float(np.abs(a).max()))
+        suffix = "z" if nf.dtype == np.complex128 else "d"
+        am = getattr(self._lib, f"mf_absmax2_{suffix}", None)
+        if am is not None:
+            g = float(am(nf.L11, nf.L11.size, nf.L21, nf.L21.size))
+        else:
+            g = 0.0
+            for a in (nf.L11, nf.L21):
+                if a.size:
+                    g = max(g, float(np.abs(a).max()))
         self._growth = g
         return g
 
@@ -257,7 +275,14 @@ class Factorization:
             indptr, indices, nzmap = _get_perm_csc(A, self.sym)
         else:
             indptr, indices, nzmap = _get_perm_csc_cp(A, self.sym, self.cperm)
-        return _CSCView(indptr, indices, np.ascontiguousarray(vals[nzmap]))
+        # reusable permuted-value buffer: the native factorize reads it
+        # synchronously, so per-refactorize reuse is safe and skips an
+        # O(nnz) allocation on the hot refactorize+solve loop
+        buf = self._csc_buf
+        if buf is None or buf.size != nzmap.size or buf.dtype != vals.dtype:
+            buf = self._csc_buf = np.empty(nzmap.size, vals.dtype)
+        np.take(vals, nzmap, out=buf)
+        return _CSCView(indptr, indices, buf)
 
     # -- refactorization: same pattern, new values (ref: job=2 re-run,
     # mumps_factorization.jl:386-396) --------------------------------------
@@ -273,6 +298,7 @@ class Factorization:
             # HPCLinearAlgebra.jl:643-744, so this cannot arise there)
             self.dtype = new_dtype
             self._A_host = None
+            self._csc_buf = None
             self.native = (NativeFactor(self.sym, self.dtype)
                            if self._lib is not None else None)
             self.num = None
@@ -301,7 +327,9 @@ class Factorization:
         precision — no device round-trips, exact f64 regardless of the TPU's
         x64 mode. ``bh`` must already be self.dtype."""
         x = self._solve_host(bh, transpose)
-        Ah = self._A_host.T if transpose else self._A_host
+        if refine <= 0:
+            return x
+        Ah = self._host_matrix().T if transpose else self._host_matrix()
         for _ in range(refine):
             r = bh - Ah @ x
             if not np.isfinite(r).all():
@@ -401,7 +429,9 @@ class Factorization:
     def _refined_multi(self, Bh: np.ndarray, transpose: bool,
                        refine: int) -> np.ndarray:
         X = self._solve_multi_host(Bh, transpose)
-        Ah = self._A_host.T if transpose else self._A_host
+        if refine <= 0:
+            return X
+        Ah = self._host_matrix().T if transpose else self._host_matrix()
         for _ in range(refine):
             R = Bh - Ah @ X
             if not np.isfinite(R).all():

@@ -255,6 +255,9 @@ _TRSM_LEAF = int(_os.environ.get("HPCLINALG_TRSM_LEAF", 8))
 # "" = auto (custom call first, per-engine fallback on scoped-VMEM compile
 # OOM); "1" = always substitution on eligible shapes; "0" = never
 _TRSM_POLICY = _os.environ.get("HPCLINALG_TRSM_SMALL", "")
+# matmul-only cholesky-with-inverse front kernel (see chol_inv_blocked);
+# "0" restores lax.linalg.cholesky + triangular_solve
+_CHOL_INV = _os.environ.get("HPCLINALG_CHOL_INV", "1") == "1"
 # trace-time switch: set by DeviceMF around each jit invocation so the
 # engine that hit the wall retraces with substitution while other engines
 # in the same process keep the fast custom call
@@ -332,6 +335,58 @@ def _tri(a, b, **kw):
                        b.reshape((batch,) + b.shape[-2:]), **kw)
         return x.reshape(b.shape)
     return jax.lax.linalg.triangular_solve(a, b, **kw)
+
+
+_CHOL_LEAF = 24
+
+
+def chol_inv_blocked(A):
+    """Batched (B, n, n) SPD Cholesky that CO-PRODUCES the triangular
+    inverse: returns (L, Linv) with A = L Lᵀ and Linv = L⁻¹ (lower).
+
+    Rationale: lax.linalg.cholesky lowers to a While loop and
+    triangular_solve to a substitution custom call — at the multifrontal's
+    small-NC/huge-B levels both are iteration-overhead-bound (measured
+    ~100 ms of the 169 ms 262k factor for ~20 GFLOP of work, 0.5% MXU).
+    This kernel is pure batched matmuls via recursive 2x2 blocking; the
+    leaf co-computes the inverse Gauss-Jordan style (the factor's
+    elementary matrices applied to I), so the front's trsm collapses to
+    ONE MXU matmul  L21 = F21 @ Linvᵀ."""
+    n = A.shape[-1]
+    prec = _mm_prec(A.dtype)
+    if n <= _CHOL_LEAF:
+        X = A
+        L = jnp.zeros_like(A)
+        M = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+        idx = jnp.arange(n)
+        for j in range(n):
+            d = jnp.sqrt(X[:, j, j])
+            col = X[:, :, j] / d[:, None]
+            col = jnp.where(idx[None, :] >= j, col, jnp.zeros_like(col))
+            L = L.at[:, :, j].set(col)
+            colb = jnp.where(idx[None, :] > j, col, jnp.zeros_like(col))
+            # trailing Schur update (rows/cols <= j go stale, never read)
+            X = X - colb[:, :, None] * colb[:, None, :]
+            # Linv: apply the same elementary row op to M
+            mrow = M[:, j, :] / d[:, None]
+            M = M.at[:, j, :].set(mrow)
+            M = M - colb[:, :, None] * mrow[:, None, :]
+        return L, M
+    k = -(-(n // 2) // 8) * 8  # mid split, 8-row aligned
+    A11, A21, A22 = A[:, :k, :k], A[:, k:, :k], A[:, k:, k:]
+    L11, M11 = chol_inv_blocked(A11)
+    L21 = jnp.matmul(A21, jnp.swapaxes(M11, 1, 2), precision=prec)
+    S = A22 - jnp.matmul(L21, jnp.swapaxes(L21, 1, 2), precision=prec)
+    L22, M22 = chol_inv_blocked(S)
+    M21 = -jnp.matmul(M22, jnp.matmul(L21, M11, precision=prec),
+                      precision=prec)
+    B = A.shape[0]
+    zt = jnp.zeros((B, k, n - k), A.dtype)
+    L = jnp.concatenate([jnp.concatenate([L11, zt], axis=2),
+                         jnp.concatenate([L21, L22], axis=2)], axis=1)
+    M = jnp.concatenate([jnp.concatenate([M11, zt], axis=2),
+                         jnp.concatenate([M21, M22], axis=2)], axis=1)
+    return L, M
 
 
 def batched_ldl(F, eps):
@@ -1027,13 +1082,19 @@ class DeviceMF:
         if self.kind == "chol":
             # fronts are assembled lower-triangle-only for symmetric kinds;
             # the default symmetrize_input would halve the off-diagonals.
-            # (A recursive blocked cholesky is 5-10x faster than this op in
-            # ISOLATION on small-front batches, but swapping it in changed
-            # steady factor time by <2% inside the fused level program while
-            # tripling compile time — the level is scatter-bound, and XLA
-            # overlaps the cholesky While loop with the scatters.)
-            L11 = jax.lax.linalg.cholesky(F11, symmetrize_input=False)
-            L21 = _tri(L11, F21, left_side=False, lower=True, transpose_a=True)
+            if _CHOL_INV:
+                # matmul-only cholesky-with-inverse: the r4 profile put
+                # ~100 ms of the 169 ms 262k factor in these kernels
+                # (~20 GFLOP of work — While-loop overhead, not compute);
+                # the per-level A/B (tools/probe_front_kernels.py) measured
+                # 52.9 -> 23.8 ms across levels 0-8
+                L11, Minv = chol_inv_blocked(F11)
+                L21 = jnp.matmul(F21, jnp.swapaxes(Minv, 1, 2),
+                                 precision=_mm_prec(F.dtype))
+            else:
+                L11 = jax.lax.linalg.cholesky(F11, symmetrize_input=False)
+                L21 = _tri(L11, F21, left_side=False, lower=True,
+                           transpose_a=True)
             U = F22 - jnp.matmul(L21, jnp.swapaxes(L21, 1, 2),
                                  precision=_mm_prec(F.dtype))
             return (L11, L21), U, jnp.zeros((), jnp.int32)

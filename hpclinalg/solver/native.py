@@ -120,6 +120,10 @@ def load_mf():
                         _i64p, _i64p, fp, fp, fp, fp, fp, ctypes.c_int,
                         ctypes.c_int, ctypes.c_int64, fp, fp, _i64p]
         smv.restype = None
+        if hasattr(lib, f"mf_absmax2_{suffix}"):
+            am = getattr(lib, f"mf_absmax2_{suffix}")
+            am.argtypes = [fp, ctypes.c_int64, fp, ctypes.c_int64]
+            am.restype = ctypes.c_double
     return lib
 
 

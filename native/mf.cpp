@@ -1077,6 +1077,22 @@ static void solve_multi_impl(
 // ---- C ABI -------------------------------------------------------------------
 extern "C" {
 
+// max |v| over two value arrays in one pass — the factor-growth monitor
+// (api.py:_factor_growth). One fused C++ scan replaces two numpy
+// abs().max() temporaries per refactorization on the hot headline loop.
+double mf_absmax2_d(const double *a, i64 na, const double *b, i64 nb) {
+  double m = 0.0;
+  for (i64 i = 0; i < na; ++i) { const double v = std::fabs(a[i]); if (v > m) m = v; }
+  for (i64 i = 0; i < nb; ++i) { const double v = std::fabs(b[i]); if (v > m) m = v; }
+  return m;
+}
+double mf_absmax2_z(const cd *a, i64 na, const cd *b, i64 nb) {
+  double m = 0.0;
+  for (i64 i = 0; i < na; ++i) { const double v = std::abs(a[i]); if (v > m) m = v; }
+  for (i64 i = 0; i < nb; ++i) { const double v = std::abs(b[i]); if (v > m) m = v; }
+  return m;
+}
+
 i64 mf_factorize_d(i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr,
                    const i64 *rows, const i64 *sparent, const i64 *Ap,
                    const i64 *Ai, const double *Ax, const i64 *l11_off,
