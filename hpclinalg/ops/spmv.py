@@ -71,6 +71,28 @@ def _ub(x):
     return jax.lax.optimization_barrier(x)
 
 
+def _distinct_offsets(offs, Lrow, cap):
+    """Sorted distinct values of ``offs`` (all >= -Lrow) via a presence
+    bitmap — two linear passes instead of a sort. Returns None as soon as
+    the count provably exceeds ``cap`` (a 256k-element sample is probed
+    first: sample-distinct > cap implies total-distinct > cap)."""
+    if not offs.size:
+        return np.zeros(0, np.int64)
+
+    def census(a):
+        bm = np.zeros(Lrow + int(a.max()) + 2, bool)
+        bm[a + Lrow] = True
+        return bm
+
+    if offs.size > (1 << 18):
+        if np.count_nonzero(census(offs[: 1 << 18])) > cap:
+            return None
+    bm = census(offs)
+    if np.count_nonzero(bm) > cap:
+        return None
+    return np.flatnonzero(bm).astype(np.int64) - Lrow
+
+
 class SpMVPlan:
     """Gather plan + local-engine selection for one (structure, x-partition)."""
 
@@ -82,18 +104,29 @@ class SpMVPlan:
         self.ell = False
 
         # ---- try the DIA decomposition (host, replicated metadata) --------
+        # distinct-offset census via a presence bitmap with a sampled
+        # early-exit: np.unique is an O(nnz log nnz) sort (~1 s/shard at
+        # 8M nnz) paid even by patterns that reject DIA immediately
         S = A.backend.nshards
         offsets = set()
         per_shard = []
+        rejected = False
         for s in range(S):
             nl = len(st.indptr[s]) - 1
             rows_local = np.repeat(np.arange(nl, dtype=np.int64),
                                    np.diff(st.indptr[s]))
             offs = st.colval[s].astype(np.int64) - rows_local
             per_shard.append(offs)
-            offsets.update(np.unique(offs).tolist())
-            if len(offsets) > DIA_MAX_OFFSETS:
+            u = _distinct_offsets(offs, st.Lrow, DIA_MAX_OFFSETS)
+            if u is None:
+                rejected = True
                 break
+            offsets.update(u.tolist())
+            if len(offsets) > DIA_MAX_OFFSETS:
+                rejected = True
+                break
+        if rejected:
+            offsets = set(range(DIA_MAX_OFFSETS + 1))  # force the else arm
         total_rows = int(np.diff(st.row_partition).sum())
         if (len(offsets) <= DIA_MAX_OFFSETS and
                 len(offsets) * total_rows <= DIA_FILL_FACTOR * max(st.nnz, 1) + 1024):

@@ -255,9 +255,16 @@ _TRSM_LEAF = int(_os.environ.get("HPCLINALG_TRSM_LEAF", 8))
 # "" = auto (custom call first, per-engine fallback on scoped-VMEM compile
 # OOM); "1" = always substitution on eligible shapes; "0" = never
 _TRSM_POLICY = _os.environ.get("HPCLINALG_TRSM_SMALL", "")
-# matmul-only cholesky-with-inverse front kernel (see chol_inv_blocked);
-# "0" restores lax.linalg.cholesky + triangular_solve
-_CHOL_INV = _os.environ.get("HPCLINALG_CHOL_INV", "1") == "1"
+# matmul-only cholesky/LDL-with-inverse front kernels (chol_inv_blocked /
+# ldl_inv_blocked). OFF by default by measurement: isolated per-level A/B
+# (tools/probe_front_kernels.py) shows them 2.2x faster than
+# lax.linalg.cholesky + triangular_solve (52.9 -> 23.8 ms over the 512^2
+# levels 0-8), but inside the fused level program the same-session A/B
+# (tools/bench_device_factor.py) measured 195.3 -> 231.8 ms: XLA overlaps
+# the While-loop kernels with the assembly/extend-add scatters, so the
+# critical path doesn't shrink and the inverse's extra matmuls/concats
+# compete with the scatters instead.
+_CHOL_INV = _os.environ.get("HPCLINALG_CHOL_INV", "0") == "1"
 # trace-time switch: set by DeviceMF around each jit invocation so the
 # engine that hit the wall retraces with substitution while other engines
 # in the same process keep the fast custom call
@@ -389,6 +396,48 @@ def chol_inv_blocked(A):
     return L, M
 
 
+def ldl_inv_blocked(F, eps):
+    """Batched unpivoted LDLᵀ co-producing the unit-L inverse — the LDL
+    analogue of chol_inv_blocked (matmul-only; no While loops / custom
+    calls). Returns (unit-lower L, d, Linv, n_perturbed)."""
+    n = F.shape[-1]
+    prec = _mm_prec(F.dtype)
+    if n <= _CHOL_LEAF:
+        X = F
+        L = jnp.broadcast_to(jnp.eye(n, dtype=F.dtype), F.shape)
+        M = L
+        idx = jnp.arange(n)
+        dcols = []
+        npert = jnp.zeros((), jnp.int32)
+        for j in range(n):
+            dj, pj = _clamp(X[:, j, j], eps)
+            npert = npert + pj
+            colb = X[:, :, j] / dj[:, None]
+            colb = jnp.where(idx[None, :] > j, colb, jnp.zeros_like(colb))
+            L = L.at[:, :, j].add(colb)
+            X = X - (colb * dj[:, None])[:, :, None] * colb[:, None, :]
+            mrow = M[:, j, :]
+            M = M - colb[:, :, None] * mrow[:, None, :]
+            dcols.append(dj)
+        return L, jnp.stack(dcols, axis=1), M, npert
+    k = -(-(n // 2) // 8) * 8
+    F11, F21, F22 = F[:, :k, :k], F[:, k:, :k], F[:, k:, k:]
+    L11, d1, M11, p1 = ldl_inv_blocked(F11, eps)
+    W = jnp.matmul(F21, jnp.swapaxes(M11, 1, 2), precision=prec)
+    L21 = W / d1[:, None, :]
+    S = F22 - jnp.matmul(L21, jnp.swapaxes(W, 1, 2), precision=prec)
+    L22, d2, M22, p2 = ldl_inv_blocked(S, eps)
+    M21 = -jnp.matmul(M22, jnp.matmul(L21, M11, precision=prec),
+                      precision=prec)
+    B = F.shape[0]
+    zt = jnp.zeros((B, k, n - k), F.dtype)
+    L = jnp.concatenate([jnp.concatenate([L11, zt], axis=2),
+                         jnp.concatenate([L21, L22], axis=2)], axis=1)
+    M = jnp.concatenate([jnp.concatenate([M11, zt], axis=2),
+                         jnp.concatenate([M21, M22], axis=2)], axis=1)
+    return L, jnp.concatenate([d1, d2], axis=1), M, p1 + p2
+
+
 def batched_ldl(F, eps):
     """Unpivoted LDLᵀ of a (B, n, n) symmetric batch (plain transpose — also
     valid complex-symmetric). Returns (unit-lower L, d, n_perturbed)."""
@@ -463,6 +512,38 @@ def _pad2(rows_list, fill, width=None):
     out = np.full((len(rows_list), W), fill, dtype=np.int32)
     for i, r in enumerate(rows_list):
         out[i, : len(r)] = r
+    return out
+
+
+def _pad2_sorted(dst_list, src_list, oob_base, src_fill):
+    """Per-row: sort (dst, src) jointly by dst; pad dst with DISTINCT
+    ascending out-of-bounds values (oob_base + 0, 1, ...) and src with the
+    zero slot. The resulting scatter index rows are strictly sorted and
+    duplicate-free end to end, so the device scatter can legally carry
+    ``indices_are_sorted=True, unique_indices=True`` — without the hints
+    XLA's TPU scatter serializes for determinism (assembly measured
+    ~100 M elem/s, scalar-issue class)."""
+    W = max((len(r) for r in dst_list), default=0)
+    W = max(W, 1)
+    D = np.empty((len(dst_list), W), np.int32)
+    Sr = np.full((len(dst_list), W), src_fill, np.int32)
+    for i, (d, s) in enumerate(zip(dst_list, src_list)):
+        o = np.argsort(d, kind="stable")
+        D[i, : len(d)] = d[o]
+        Sr[i, : len(d)] = np.asarray(s)[o]
+        D[i, len(d):] = oob_base + np.arange(W - len(d), dtype=np.int64)
+    return D, Sr
+
+
+def _pad_oob(rows_list, oob_base):
+    """Pad already-sorted, duplicate-free index rows with distinct
+    ascending OOB values (companion of _pad2_sorted for .at[].set)."""
+    W = max((len(r) for r in rows_list), default=0)
+    W = max(W, 1)
+    out = np.empty((len(rows_list), W), np.int32)
+    for i, r in enumerate(rows_list):
+        out[i, : len(r)] = r
+        out[i, len(r):] = oob_base + np.arange(W - len(r), dtype=np.int64)
     return out
 
 
@@ -663,12 +744,12 @@ class DeviceMF:
         def pack_asm(m, l, is_top):
             if is_top:
                 sr, ds = asm.get(("top", l, None), ([], []))
-                m.a_src = self._reg(jnp.asarray(_pad2(
-                    [np.concatenate(sr) if sr else np.zeros(0, np.int64)],
-                    nnzA)[0]))
-                m.a_dst = self._reg(jnp.asarray(_pad2(
+                D, Sr = _pad2_sorted(
                     [np.concatenate(ds) if ds else np.zeros(0, np.int64)],
-                    m.B * m.NF * m.NF)[0]))
+                    [np.concatenate(sr) if sr else np.zeros(0, np.int64)],
+                    m.B * m.NF * m.NF, nnzA)
+                m.a_src = self._reg(jnp.asarray(Sr[0]))
+                m.a_dst = self._reg(jnp.asarray(D[0]))
             else:
                 srcs, dsts = [], []
                 for s in range(S):
@@ -677,8 +758,9 @@ class DeviceMF:
                                 else np.zeros(0, np.int64))
                     dsts.append(np.concatenate(ds) if ds
                                 else np.zeros(0, np.int64))
-                m.a_src = self._reg(self._dev(_pad2(srcs, nnzA)))
-                m.a_dst = self._reg(self._dev(_pad2(dsts, m.B * m.NF * m.NF)))
+                D, Sr = _pad2_sorted(dsts, srcs, m.B * m.NF * m.NF, nnzA)
+                m.a_src = self._reg(self._dev(Sr))
+                m.a_dst = self._reg(self._dev(D))
 
         # -- identity padding (diag slots not covered by a real front) -------
         def pack_diag(m, fronts_by_slot, is_top):
@@ -699,11 +781,11 @@ class DeviceMF:
                         else np.zeros(0, dtype=np.int64))
             if is_top:
                 m.diag = self._reg(jnp.asarray(
-                    _pad2([one(fronts_by_slot)], m.B * m.NF * m.NF)[0]))
+                    _pad_oob([one(fronts_by_slot)], m.B * m.NF * m.NF)[0]))
             else:
                 m.diag = self._reg(self._dev(
-                    _pad2([one(fronts_by_slot[s]) for s in range(S)],
-                          m.B * m.NF * m.NF)))
+                    _pad_oob([one(fronts_by_slot[s]) for s in range(S)],
+                             m.B * m.NF * m.NF)))
 
         # -- extend-add maps --------------------------------------------------
         # COMPACT representation: the per-child nr x nr scatter indices are
@@ -1083,11 +1165,6 @@ class DeviceMF:
             # fronts are assembled lower-triangle-only for symmetric kinds;
             # the default symmetrize_input would halve the off-diagonals.
             if _CHOL_INV:
-                # matmul-only cholesky-with-inverse: the r4 profile put
-                # ~100 ms of the 169 ms 262k factor in these kernels
-                # (~20 GFLOP of work — While-loop overhead, not compute);
-                # the per-level A/B (tools/probe_front_kernels.py) measured
-                # 52.9 -> 23.8 ms across levels 0-8
                 L11, Minv = chol_inv_blocked(F11)
                 L21 = jnp.matmul(F21, jnp.swapaxes(Minv, 1, 2),
                                  precision=_mm_prec(F.dtype))
@@ -1099,9 +1176,14 @@ class DeviceMF:
                                  precision=_mm_prec(F.dtype))
             return (L11, L21), U, jnp.zeros((), jnp.int32)
         if self.kind == "ldl":
-            L11, d, npert = batched_ldl(F11, eps)
-            W = _tri(L11, F21, left_side=False, lower=True, transpose_a=True,
-                     unit_diagonal=True)
+            if _CHOL_INV:
+                L11, d, Minv, npert = ldl_inv_blocked(F11, eps)
+                W = jnp.matmul(F21, jnp.swapaxes(Minv, 1, 2),
+                               precision=_mm_prec(F.dtype))
+            else:
+                L11, d, npert = batched_ldl(F11, eps)
+                W = _tri(L11, F21, left_side=False, lower=True,
+                         transpose_a=True, unit_diagonal=True)
             L21 = W / d[:, None, :]
             U = F22 - jnp.matmul(L21, jnp.swapaxes(W, 1, 2),
                                  precision=_mm_prec(F.dtype))
@@ -1123,9 +1205,11 @@ class DeviceMF:
         B, NC, NF = m.B, m.NC, m.NF
         vals = jnp.take(Av, bufs[m.a_src], axis=0)  # (S, Ka) repl. source
         F = jnp.zeros((S, B * NF * NF), dt)
-        F = jax.vmap(lambda f, d, v: f.at[d].add(v, mode="drop"))(
+        F = jax.vmap(lambda f, d, v: f.at[d].add(
+            v, mode="drop", unique_indices=True, indices_are_sorted=True))(
             F, bufs[m.a_dst], vals)
-        F = jax.vmap(lambda f, d: f.at[d].set(1.0, mode="drop"))(
+        F = jax.vmap(lambda f, d: f.at[d].set(
+            1.0, mode="drop", unique_indices=True, indices_are_sorted=True))(
             F, bufs[m.diag])
         if EA_MATMUL and m.ea:
             F4 = F.reshape(S, B, NF, NF)
@@ -1193,8 +1277,11 @@ class DeviceMF:
             B, NC, NF = m.B, m.NC, m.NF
             F = jnp.zeros((B * NF * NF,), dt)
             F = F.at[bufs[m.a_dst]].add(
-                jnp.take(Av, bufs[m.a_src], axis=0), mode="drop")
-            F = F.at[bufs[m.diag]].set(1.0, mode="drop")
+                jnp.take(Av, bufs[m.a_src], axis=0), mode="drop",
+                unique_indices=True, indices_are_sorted=True)
+            F = F.at[bufs[m.diag]].set(1.0, mode="drop",
+                                       unique_indices=True,
+                                       indices_are_sorted=True)
             if EA_MATMUL:
                 F4 = F.reshape(B, NF, NF)
                 for lc, srcb, dstb, psl in m.ea:

@@ -126,14 +126,29 @@ def _structure_from_local_csr(parts, ncols, backend, col_partition=None):
     """parts: list of (indptr, global col indices) per shard."""
     indptr, col_indices, colval = [], [], []
     sizes = []
+    # flag-array compression: unique+searchsorted are O(nnz log nnz) sorts
+    # (measured 6.7 s at 8M nnz); a presence bitmap + rank table is two
+    # linear passes. Falls back to the sort path for huge column spaces.
+    use_flags = 0 < ncols <= (1 << 24)
+    if use_flags:
+        present = np.zeros(ncols, bool)
+        rank = np.empty(ncols, np.int32)
     for ip, gj in parts:
         ip = np.asarray(ip, dtype=np.int64)
         gj = np.asarray(gj, dtype=np.int64)
         sizes.append(len(ip) - 1)
-        ci = np.unique(gj)
+        if use_flags and len(gj):
+            present[:] = False
+            present[gj] = True
+            ci = np.flatnonzero(present).astype(np.int64)
+            rank[ci] = np.arange(len(ci), dtype=np.int32)
+            cv = rank[gj]
+        else:
+            ci = np.unique(gj)
+            cv = np.searchsorted(ci, gj).astype(np.int32)
         indptr.append(ip)
         col_indices.append(ci)
-        colval.append(np.searchsorted(ci, gj).astype(np.int32))
+        colval.append(cv)
     row_partition = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
     cp = (validate_partition(col_partition, ncols) if col_partition is not None
           else uniform_partition(ncols, backend.nshards))
