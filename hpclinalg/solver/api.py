@@ -23,7 +23,7 @@ import numpy as np
 from ..cache import cached_plan, plan_cache
 from .multifrontal import NumericFactor, factorize, solve_factored, _PERT_REL
 from .native import NativeFactor, load_mf
-from .symbolic import SymbolicFactor, analyze_best
+from .symbolic import SymbolicFactor, analyze_best, analyze_fastest
 
 
 def _get_symbolic(A) -> SymbolicFactor:
@@ -32,7 +32,7 @@ def _get_symbolic(A) -> SymbolicFactor:
 
     def build():
         A_csr = A.pattern_csr()  # symbolic phase never reads values
-        return analyze_best(A_csr)
+        return analyze_fastest(A_csr)
 
     return cached_plan("symbolic", (A.hash,), build)
 
@@ -254,15 +254,17 @@ class Factorization:
         if self._growth is not None:
             return self._growth
         nf = self.native
-        suffix = "z" if nf.dtype == np.complex128 else "d"
-        am = getattr(self._lib, f"mf_absmax2_{suffix}", None)
-        if am is not None:
-            g = float(am(nf.L11, nf.L11.size, nf.L21, nf.L21.size))
-        else:
-            g = 0.0
-            for a in (nf.L11, nf.L21):
-                if a.size:
-                    g = max(g, float(np.abs(a).max()))
+        g = getattr(nf, "growth", 0.0)
+        if not g and (nf.L11.size > 1 or nf.L21.size > 1):
+            # engine built before the fused in-factorize scan existed
+            suffix = "z" if nf.dtype == np.complex128 else "d"
+            am = getattr(self._lib, f"mf_absmax2_{suffix}", None)
+            if am is not None:
+                g = float(am(nf.L11, nf.L11.size, nf.L21, nf.L21.size))
+            else:
+                for a in (nf.L11, nf.L21):
+                    if a.size:
+                        g = max(g, float(np.abs(a).max()))
         self._growth = g
         return g
 
@@ -371,8 +373,11 @@ class Factorization:
                                     refine).astype(dtype)
 
         if is_dist:
-            return DistVector.from_global(x, self.backend,
-                                          partition=self.A.row_partition, dtype=dtype)
+            # deferred device residency: host consumers (residuals, repeated
+            # solves, to_numpy) skip the relay push entirely; the first
+            # device use pays it once
+            return DistVector.from_global_deferred(
+                x, self.backend, partition=self.A.row_partition, dtype=dtype)
         return x
 
     def solve_transpose(self, b, refine: int | None = None):

@@ -86,12 +86,13 @@ def load_mf():
     if lib.mf_init(blas.encode()) != 0:
         return None
 
+    _f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
     for suffix, dt in (("d", np.float64), ("z", np.complex128)):
         fp = np.ctypeslib.ndpointer(dt, flags="C")
         f = getattr(lib, f"mf_factorize_{suffix}")
         f.argtypes = [ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
                       _i64p, _i64p, _i64p, fp, _i64p, _i64p, fp, fp, fp, fp,
-                      fp, ctypes.c_int, ctypes.c_double]
+                      fp, ctypes.c_int, ctypes.c_double, _f64p]
         f.restype = ctypes.c_int64
         s = getattr(lib, f"mf_solve_{suffix}")
         s.argtypes = [ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
@@ -108,7 +109,7 @@ def load_mf():
         fpv.argtypes = [ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
                         _i64p, _i64p, _i64p, fp, _i64p, _i64p, fp, fp, fp,
                         fp, fp, ctypes.c_int, ctypes.c_double, fp, _i64p,
-                        _i64p]
+                        _i64p, _f64p]
         fpv.restype = ctypes.c_int64
         spv = getattr(lib, f"mf_solve_piv_{suffix}")
         spv.argtypes = [ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i64p,
@@ -161,6 +162,10 @@ class NativeFactor:
         self.Dsub = np.zeros(1, dtype=self.dtype)
         self.pivperm = None
         self.rows2 = self.rows
+        # max |L| entry, filled by the C++ factorize in the same pass that
+        # exports the fronts (api.py:_factor_growth reads it for free)
+        self._growth_buf = np.zeros(1, np.float64)
+        self.growth = 0.0
 
     def _fn(self, lib, name):
         suffix = "z" if self.dtype == np.complex128 else "d"
@@ -192,7 +197,7 @@ class NativeFactor:
                 Ax, self.l11_off, self.l21_off,
                 self.L11, self.L21, self.D, self.U11, self.U12,
                 2 if kind == "ldlt" else 3, eps,
-                self.Dsub, self.pivperm, self.rows2,
+                self.Dsub, self.pivperm, self.rows2, self._growth_buf,
             )
         else:
             self.pivoted = False
@@ -205,10 +210,11 @@ class NativeFactor:
                 np.asarray(Ap_csc.indices, np.int64),
                 Ax, self.l11_off, self.l21_off,
                 self.L11, self.L21, self.D, self.U11, self.U12,
-                0 if kind == "ldlt" else 1, eps,
+                0 if kind == "ldlt" else 1, eps, self._growth_buf,
             )
         if rc < 0:
             raise RuntimeError(f"native factorization failed: {rc}")
+        self.growth = float(self._growth_buf[0])
         self.n_perturbed = int(rc)
         return self.n_perturbed
 

@@ -67,9 +67,33 @@ class DistVector:
     def __init__(self, data: jax.Array, partition: np.ndarray, backend: Backend):
         self.backend = backend
         self.partition = validate_partition(partition)
+        self._lazy_stacked = None
+        self._lazy_full = None
         self.data = data  # (S, L), padding zero
         assert data.ndim == 2 and data.shape[0] == backend.nshards
         self._phash: str | None = None
+
+    # -- deferred device residency ----------------------------------------
+    # Solver returns stage the solution on host and push to device only on
+    # first .data use: the reference's MUMPS path likewise leaves the
+    # scattered solution on the ranks' hosts (mumps_factorization.jl:
+    # 338-353) — device residency is a TPU-side addition that a host-only
+    # consumer (to_numpy, residual checks, another solve) never needs to
+    # pay the relay transfer for.
+    @property
+    def data(self):
+        if self._data is None:
+            self._data = jax.device_put(self._lazy_stacked,
+                                        self.backend.row_sharding())
+            self._lazy_stacked = None  # _lazy_full stays valid (immutable)
+        return self._data
+
+    @data.setter
+    def data(self, value):
+        self._data = value
+        if value is not None:
+            self._lazy_stacked = None
+            self._lazy_full = None
 
     # -- identity ----------------------------------------------------------
     @property
@@ -91,11 +115,13 @@ class DistVector:
 
     @property
     def dtype(self):
-        return self.data.dtype
+        src = self._data if self._data is not None else self._lazy_stacked
+        return src.dtype
 
     @property
     def L(self) -> int:
-        return int(self.data.shape[1])
+        src = self._data if self._data is not None else self._lazy_stacked
+        return int(src.shape[1])
 
     # -- constructors --------------------------------------------------------
     @staticmethod
@@ -122,6 +148,41 @@ class DistVector:
         for s in range(S):
             out[s, : sizes[s]] = arr[p[s]: p[s + 1]]
         return DistVector(jax.device_put(out, backend.row_sharding()), p, backend)
+
+    @staticmethod
+    def from_global_deferred(arr, backend: Backend,
+                             partition: np.ndarray | None = None,
+                             dtype=None) -> "DistVector":
+        """from_global with DEFERRED device residency: the (S, L) staging
+        stays on host and is pushed by the first ``.data`` access. Host
+        consumers (to_numpy, solver residuals) never pay the transfer.
+        Internal fast path for solver returns."""
+        arr = np.asarray(arr)
+        if np.issubdtype(np.dtype(dtype or arr.dtype), np.complexfloating) \
+                and not backend.complex_capable:
+            return DistVector.from_global(arr, backend, partition=partition,
+                                          dtype=dtype)
+        backend.check_dtype(dtype or arr.dtype)
+        n = arr.shape[0]
+        p = validate_partition(partition, n) if partition is not None \
+            else uniform_partition(n, backend.nshards)
+        L = padded_size(p)
+        S = nshards_of(p)
+        dt = resolve_dtype(backend, arr.dtype, dtype)
+        out = np.zeros((S, L), dtype=dt)
+        sizes = partition_sizes(p)
+        for s in range(S):
+            out[s, : sizes[s]] = arr[p[s]: p[s + 1]]
+        v = object.__new__(DistVector)
+        v.backend = backend
+        v.partition = p
+        v._phash = None
+        v._data = None
+        v._lazy_stacked = out
+        full = arr.astype(dt, copy=not arr.flags.owndata)
+        full.setflags(write=False)
+        v._lazy_full = full
+        return v
 
     @staticmethod
     def from_local(shards: list[np.ndarray], backend: Backend, dtype=None) -> "DistVector":
@@ -184,6 +245,8 @@ class DistVector:
         read (converters, solver RHS staging). Cached per device buffer — jax
         arrays are immutable, and in-place setindex swaps ``self.data``, so
         the identity check stays sound."""
+        if self._lazy_full is not None:
+            return self._lazy_full
         cached = getattr(self, "_host_cache", None)
         if cached is not None and cached[0] is self.data:
             return cached[1]

@@ -199,7 +199,12 @@ static i64 factorize_full(
     const i64 *l11_off, const i64 *l21_off,
     T *L11, T *L21, T *D, T *U11, T *U12,
     int kind, double eps,
-    T *Dsub = nullptr, i64 *pivperm = nullptr, i64 *rows_out = nullptr) {
+    T *Dsub = nullptr, i64 *pivperm = nullptr, i64 *rows_out = nullptr,
+    double *growth_out = nullptr) {
+  double growth = 0.0;  // max |L| entry, accumulated per front while the
+  // exported blocks are still cache-hot — replaces the separate O(lnz)
+  // absmax pass the growth monitor (api.py:_factor_growth) otherwise runs
+  // per refactorization (~0.6 ms of the n=10k headline loop)
   i64 npert = 0;
   if (pivperm) for (i64 i = 0; i < n; ++i) pivperm[i] = i;
   if (Dsub) for (i64 i = 0; i < n; ++i) Dsub[i] = T(0);
@@ -684,9 +689,23 @@ static i64 factorize_full(
       }
     }
 
+    if (growth_out) {
+      const T *a = &L11[l11_off[k]];
+      for (i64 i = 0, e = nc * nc; i < e; ++i) {
+        const double v = absval(a[i]);
+        if (v > growth) growth = v;
+      }
+      const T *b = &L21[l21_off[k]];
+      for (i64 i = 0, e = nr * nc; i < e; ++i) {
+        const double v = absval(b[i]);
+        if (v > growth) growth = v;
+      }
+    }
+
     for (i64 j = j0; j < j1; ++j) pos_of[j] = -1;
     for (i64 t = r0; t < r1; ++t) pos_of[rows[t]] = -1;
   }
+  if (growth_out) *growth_out = growth;
   if (rows_out && pivperm) {
     // descendant scatter targets relabeled to post-pivot positions
     std::vector<i64> g(n);
@@ -1097,20 +1116,22 @@ i64 mf_factorize_d(i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr,
                    const i64 *rows, const i64 *sparent, const i64 *Ap,
                    const i64 *Ai, const double *Ax, const i64 *l11_off,
                    const i64 *l21_off, double *L11, double *L21, double *D,
-                   double *U11, double *U12, int kind, double eps) {
+                   double *U11, double *U12, int kind, double eps,
+                   double *growth_out) {
   return factorize_full<double>(n, ns, snode_ptr, rows_ptr, rows, sparent, Ap,
                                 Ai, Ax, l11_off, l21_off, L11, L21, D, U11,
-                                U12, kind, eps);
+                                U12, kind, eps, nullptr, nullptr, nullptr,
+                                growth_out);
 }
 
 i64 mf_factorize_z(i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr,
                    const i64 *rows, const i64 *sparent, const i64 *Ap,
                    const i64 *Ai, const cd *Ax, const i64 *l11_off,
                    const i64 *l21_off, cd *L11, cd *L21, cd *D, cd *U11,
-                   cd *U12, int kind, double eps) {
+                   cd *U12, int kind, double eps, double *growth_out) {
   return factorize_full<cd>(n, ns, snode_ptr, rows_ptr, rows, sparent, Ap, Ai,
                             Ax, l11_off, l21_off, L11, L21, D, U11, U12, kind,
-                            eps);
+                            eps, nullptr, nullptr, nullptr, growth_out);
 }
 
 void mf_solve_d(i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr,
@@ -1154,10 +1175,11 @@ i64 mf_factorize_piv_d(i64 n, i64 ns, const i64 *snode_ptr,
                        const i64 *l21_off, double *L11, double *L21,
                        double *D, double *U11, double *U12, int kind,
                        double eps, double *Dsub, i64 *pivperm,
-                       i64 *rows_out) {
+                       i64 *rows_out, double *growth_out) {
   return factorize_full<double>(n, ns, snode_ptr, rows_ptr, rows, sparent,
                                 Ap, Ai, Ax, l11_off, l21_off, L11, L21, D,
-                                U11, U12, kind, eps, Dsub, pivperm, rows_out);
+                                U11, U12, kind, eps, Dsub, pivperm, rows_out,
+                                growth_out);
 }
 
 i64 mf_factorize_piv_z(i64 n, i64 ns, const i64 *snode_ptr,
@@ -1165,10 +1187,11 @@ i64 mf_factorize_piv_z(i64 n, i64 ns, const i64 *snode_ptr,
                        const i64 *sparent, const i64 *Ap, const i64 *Ai,
                        const cd *Ax, const i64 *l11_off, const i64 *l21_off,
                        cd *L11, cd *L21, cd *D, cd *U11, cd *U12, int kind,
-                       double eps, cd *Dsub, i64 *pivperm, i64 *rows_out) {
+                       double eps, cd *Dsub, i64 *pivperm, i64 *rows_out,
+                       double *growth_out) {
   return factorize_full<cd>(n, ns, snode_ptr, rows_ptr, rows, sparent, Ap,
                             Ai, Ax, l11_off, l21_off, L11, L21, D, U11, U12,
-                            kind, eps, Dsub, pivperm, rows_out);
+                            kind, eps, Dsub, pivperm, rows_out, growth_out);
 }
 
 void mf_solve_piv_d(i64 n, i64 ns, const i64 *snode_ptr, const i64 *rows_ptr,
