@@ -22,9 +22,26 @@
 #include <cstdio>
 #include <cstdlib>
 #include <algorithm>
+#include <chrono>
 #include <vector>
+#include <sys/mman.h>
 
 namespace {
+
+// HPCLINALG_ROUTE_DEBUG=1: per-section wall times to stderr
+struct SectTimer {
+    bool on;
+    std::chrono::high_resolution_clock::time_point t0;
+    SectTimer() : on(getenv("HPCLINALG_ROUTE_DEBUG") != nullptr),
+                  t0(std::chrono::high_resolution_clock::now()) {}
+    void lap(const char* name) {
+        if (!on) return;
+        auto t1 = std::chrono::high_resolution_clock::now();
+        fprintf(stderr, "[route] %-12s %.3f s\n", name,
+                std::chrono::duration<double>(t1 - t0).count());
+        t0 = t1;
+    }
+};
 
 constexpr int64_t LANES = 128;
 constexpr int64_t SC = 512;
@@ -96,11 +113,11 @@ void radix_argsort(const std::vector<i64>& keys, std::vector<i64>& idx,
 // but a single bank-(K-1) element anywhere forces K table banks AND K
 // masked kernel passes. Pick the smallest cap whose overflow fits in the
 // COO spill epilogue budget (0.1% of total emissions per stage).
-i64 bank_cap(const std::vector<i64>& bank, const std::vector<u8>& dead,
+i64 bank_cap(const std::vector<u8>& bank, const std::vector<u8>& dead,
              i64 ne_total, i64 K) {
     std::vector<i64> hist(K + 1, 0);
     for (size_t i = 0; i < bank.size(); i++)
-        if (!dead[i]) hist[std::min(bank[i], K - 1)]++;
+        if (!dead[i]) hist[std::min<i64>(bank[i], K - 1)]++;
     i64 over = 0, cap = 1;
     for (i64 c = K; c >= 2; c--) {
         over += hist[c - 1];
@@ -116,23 +133,54 @@ i64 bank_cap(const std::vector<i64>& bank, const std::vector<u8>& dead,
     return cap;
 }
 
+// calloc-backed buffer: zero-initialized tables get kernel zero pages
+// that are never touched until the sparse sweep-2 writes (std::vector's
+// value-init faulted+wrote ~250 MB of pages: 1.2 s of the cold build).
+template <class T> struct CBuf {
+    T* p = nullptr;
+    size_t cnt = 0, bytes = 0;
+    CBuf() = default;
+    CBuf(const CBuf&) = delete;
+    CBuf& operator=(const CBuf&) = delete;
+    ~CBuf() { if (p) munmap(p, bytes); }
+    void alloc(size_t n) {
+        if (p) munmap(p, bytes);
+        cnt = n;
+        bytes = (n * sizeof(T) + 4095) & ~size_t(4095);
+        if (!bytes) bytes = 4096;
+        p = (T*)mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
+                     MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+        madvise(p, bytes, MADV_HUGEPAGE);  // 512x fewer first-touch faults
+    }
+    void assign0(size_t n) { alloc(n); }   // anonymous mmap is zero-filled
+    void assign_byte(size_t n, int byte) {
+        alloc(n);
+        std::memset(p, byte, n * sizeof(T));
+    }
+    T* data() { return p; }
+    const T* data() const { return p; }
+    size_t size() const { return cnt; }
+    T& operator[](size_t i) { return p[i]; }
+    const T& operator[](size_t i) const { return p[i]; }
+};
+
 struct Route {
     i64 ne, T1, n_sc, C2, gamma, cpg, RAu, nsub, RBu, nrows_bin;
     i64 KAe, KB1e, KB2e;         // live bank counts (adaptive table diet)
     // pass A tables
     std::vector<i32> win;        // (n_sc)
     std::vector<i8> win_rel;     // (T1)
-    std::vector<i8> M;           // (T1, 128)
-    std::vector<i8> SA;          // (n_sc, KA, SC, 128); exported (.., KAe, ..)
-    std::vector<i16> A_brow;     // (n_sc, gamma*RAu, 128)
-    std::vector<u8> A_bank;      // (n_sc, gamma*RAu, 128)
+    CBuf<i8> M;                  // (T1, 128)
+    CBuf<i8> SA;                 // (n_sc, KA, SC, 128); exported (.., KAe, ..)
+    CBuf<i16> A_brow;            // (n_sc, gamma*RAu, 128)
+    CBuf<u8> A_bank;             // (n_sc, gamma*RAu, 128)
     // pass B tables (uniform RBu stride)
-    std::vector<i8> S1;          // (gamma, KB1, nsub*SUB, 128); exp KB1e
-    std::vector<i16> B1_brow;    // (gamma, nsub, cpg*RBu, 128)
-    std::vector<u8> B1_bank;     // (gamma, nsub, cpg*RBu, 128)
-    std::vector<i8> S2;          // (gamma, cpg, KB2, nsub*RBu, 128); exp KB2e
-    std::vector<i16> B2_brow;    // (gamma, cpg, 128, 128)
-    std::vector<u8> B2_bank;     // (gamma, cpg, 128, 128)
+    CBuf<i8> S1;                 // (gamma, KB1, nsub*SUB, 128); exp KB1e
+    CBuf<i16> B1_brow;           // (gamma, nsub, cpg*RBu, 128)
+    CBuf<u8> B1_bank;            // (gamma, nsub, cpg*RBu, 128)
+    CBuf<i8> S2;                 // (gamma, cpg, KB2, nsub*RBu, 128); exp KB2e
+    CBuf<i16> B2_brow;           // (gamma, cpg, 128, 128)
+    CBuf<u8> B2_bank;            // (gamma, cpg, 128, 128)
     std::vector<i64> spill_dst, spill_src;
 };
 
@@ -141,12 +189,12 @@ struct Route {
 // touches the hundreds-of-MB intermediates — measured 15 s at 8M
 // emissions): rel[lead][t][lane][i] = brow[lead][t*128+i][lane] & 127,
 // sel = bank * P + (brow >> 7), 255 dead. Also collects the live codes.
-void pack_cg(const std::vector<i16>& brow, const std::vector<u8>& bank,
+void pack_cg(const i16* browp, const u8* bankp,
              i64 lead, i64 rows, i64 P, i8* rel, u8* sel, u8* live) {
     const i64 T = (rows + LANES - 1) / LANES;
     for (i64 l = 0; l < lead; l++) {
-        const i16* br = brow.data() + l * rows * LANES;
-        const u8* bk = bank.data() + l * rows * LANES;
+        const i16* br = browp + l * rows * LANES;
+        const u8* bk = bankp + l * rows * LANES;
         i8* rl = rel + l * T * LANES * LANES;
         u8* sl = sel + l * T * LANES * LANES;
         // rel must stay in [0, 127] even at dead slots: the kernels gather
@@ -178,6 +226,7 @@ extern "C" {
 void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
                   i64 force_RAu, i64 force_RBu, i64 pad_n_sc, i64 pad_nsub,
                   i64 force_KA, i64 force_KB1, i64 force_KB2) {
+    SectTimer ST;
     auto* R = new Route();
     const i64 C2 = std::max<i64>(1, (ndest + DCH - 1) / DCH);
     const i64 cpg = std::min<i64>(C2, 64);
@@ -196,6 +245,7 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
         for (i64 d = 0; d < ndest; d++) key[d] = src_of[d];
         radix_argsort(key, idx, nsrc > 0 ? nsrc : 1);
     }
+    ST.lap("sort_src");
     std::vector<i64> e_src(ne), e_dst(ne);
     for (i64 i = 0; i < ne; i++) { e_dst[i] = idx[i]; e_src[i] = src_of[idx[i]]; }
 
@@ -217,6 +267,7 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
     const i64 n_sc = (T1 + SC - 1) / SC;
     T1 = n_sc * SC;
 
+    ST.lap("ce_rows");
     // ---- per-sc slab base + window spill --------------------------------
     std::vector<i64> row_win(T1, 0);
     std::vector<u8> has_win(T1, 0);
@@ -243,12 +294,18 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
     for (i64 i = 0; i < ne; i++)
         if (bad_row[e_row[i]]) spilled[i] = 1;
 
+    ST.lap("win_spill");
     // ---- pass A: bin by (sc, gamma), rank in stream order ----------------
-    std::vector<i64> d_gamma(ne), d_chunk(ne), e_sc(ne);
+    // narrow per-element types (i64 -> i32/u8): ~450 MB of per-element
+    // working vectors at 8M emissions was measured as several seconds of
+    // first-touch+traffic on the cold build
+    std::vector<i32> d_gamma(ne), e_sc(ne);
+    std::vector<u8> delta(ne);   // d_chunk / gamma < cpg <= 64
     for (i64 i = 0; i < ne; i++) {
-        d_chunk[i] = e_dst[i] / DCH;
-        d_gamma[i] = d_chunk[i] % gamma;
-        e_sc[i] = e_row[i] / SC;
+        const i64 dc = e_dst[i] / DCH;
+        d_gamma[i] = (i32)(dc % gamma);
+        delta[i] = (u8)(dc / gamma);
+        e_sc[i] = (i32)(e_row[i] / SC);
     }
     // counts and per-gamma max rows
     std::vector<i64> cntA(n_sc * gamma, 0);
@@ -280,7 +337,7 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
     std::memcpy(R->win.data(), win_n.data(), n_sc * sizeof(i32));
     R->win_rel.assign(n_sc_f * SC, 0);
     std::memcpy(R->win_rel.data(), win_rel_n.data(), T1);
-    R->M.assign(n_sc_f * SC * LANES, 0);
+    R->M.assign0(n_sc_f * SC * LANES);
     for (i64 i = 0; i < ne; i++)
         R->M[e_row[i] * LANES + e_lane[i]] = (i8)(e_src[i] % LANES);
     std::vector<i64> RAoff(gamma + 1, 0);
@@ -288,9 +345,9 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
 
     // rankA within (sc, gamma) in stream order (the stream is already
     // sorted by (e_sc, e_row, e_lane), matching numpy's lexsort)
-    std::vector<i64> rankA(ne);
+    std::vector<i32> rankA(ne);
     {
-        std::vector<i64> ctr(gamma, 0);
+        std::vector<i32> ctr(gamma, 0);
         i64 cur_sc = -1;
         for (i64 i = 0; i < ne; i++) {
             if (e_sc[i] != cur_sc) { std::fill(ctr.begin(), ctr.end(), 0); cur_sc = e_sc[i]; }
@@ -303,30 +360,35 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
     // measured 7% of emissions at bank >= 2 at 1M/gamma=8). Offsetting
     // group g by g*(128/gamma) spreads the groups' lane ranges apart.
     const i64 phase = LANES / std::max<i64>(gamma, 1);
-    std::vector<i64> a_row(ne), a_lane(ne);
+    std::vector<i32> a_row(ne);
+    std::vector<u8> a_lane(ne);
     for (i64 i = 0; i < ne; i++) {
-        a_row[i] = RAoff[d_gamma[i]] + rankA[i] / LANES;
-        a_lane[i] = (rankA[i] + d_gamma[i] * phase) % LANES;
+        a_row[i] = (i32)(RAoff[d_gamma[i]] + rankA[i] / LANES);
+        a_lane[i] = (u8)((rankA[i] + d_gamma[i] * phase) % LANES);
         if (!spilled[i] && rankA[i] / LANES >= RA[d_gamma[i]]) spilled[i] = 1;
     }
-    // bankA: rank of distinct src lane within (e_row*128 + a_lane)
-    std::vector<i64> bankA(ne);
+    ST.lap("passA_rank");
+    // bankA: rank of distinct src lane within (e_row*128 + a_lane).
+    // Direct seen-list assignment (one linear pass; the radix argsort this
+    // replaces was ~1 s warm / several s cold at 8M emissions). Any
+    // bijection distinct-lane -> bank is valid — the kernels read the bank
+    // id back from the same tables — so arrival order replaces sorted
+    // order; duplicates (same src lane twice in a group) share a bank.
+    std::vector<u8> bankA(ne);
     {
-        std::vector<i64> key(ne), ord(ne);
+        std::vector<u8> seen((size_t)T1 * LANES * KA, 255);
         for (i64 i = 0; i < ne; i++) {
-            key[i] = (e_row[i] * LANES + a_lane[i]) * LANES + e_lane[i];
-            ord[i] = i;
-        }
-        radix_argsort(key, ord, T1 * LANES * LANES);
-        i64 prev_grp = -1, prev_key = -1, bank = 0;
-        for (i64 j = 0; j < ne; j++) {
-            const i64 i = ord[j];
-            const i64 grp = key[i] / LANES;
-            if (grp != prev_grp) { bank = 0; prev_grp = grp; prev_key = key[i]; }
-            else if (key[i] != prev_key) { bank++; prev_key = key[i]; }
-            bankA[i] = bank;
+            u8* s = &seen[(size_t)(e_row[i] * LANES + a_lane[i]) * KA];
+            const u8 v = (u8)e_lane[i];
+            i64 b = 0;
+            for (; b < KA; b++) {
+                if (s[b] == v) break;
+                if (s[b] == 255) { s[b] = v; break; }
+            }
+            bankA[i] = (u8)b;  // b == KA -> overflow, spills below
         }
     }
+    ST.lap("bankA");
     // adaptive bank CAP (table diet): almost all emissions land in banks
     // 0-1, but a single bank-5 element anywhere forces 6 SA banks (and 6
     // masked kernel passes). Pick the smallest cap whose overflow fits in
@@ -335,9 +397,10 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
     for (i64 i = 0; i < ne; i++)
         if (!spilled[i] && bankA[i] >= capA) spilled[i] = 1;
 
-    R->SA.assign(n_sc_f * KA * SC * LANES, 0);
-    R->A_brow.assign(n_sc_f * gamma * RAu * LANES, 0);
-    R->A_bank.assign(n_sc_f * gamma * RAu * LANES, 255);
+    ST.lap("capA");
+    R->SA.assign0(n_sc_f * KA * SC * LANES);
+    R->A_brow.assign0(n_sc_f * gamma * RAu * LANES);
+    R->A_bank.assign_byte(n_sc_f * gamma * RAu * LANES, 255);
     for (i64 i = 0; i < ne; i++) {
         if (spilled[i]) continue;
         const i64 s = e_sc[i];
@@ -351,28 +414,35 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
         R->A_bank[(s * gamma * RAu + ur) * LANES + a_lane[i]] = (u8)bankA[i];
     }
 
+    ST.lap("fillA");
     // ---- pass B ----------------------------------------------------------
-    // per element: bin_row (uniform stride), sub, delta
-    std::vector<i64> bin_row(ne), subv(ne), delta(ne);
+    // per element: bin_row (uniform stride), sub (delta computed above)
+    std::vector<i32> bin_row(ne), subv(ne);
+    std::vector<u8> d_lane(ne), d_row(ne);
     for (i64 i = 0; i < ne; i++) {
-        bin_row[i] = e_sc[i] * RAu + d_gamma[i] * 0 /*per-gamma view*/ +
-                     (a_row[i] - RAoff[d_gamma[i]]);
-        subv[i] = bin_row[i] / SUB;
-        delta[i] = d_chunk[i] / gamma;
-    }
-    std::vector<i64> d_lane(ne), d_row(ne);
-    for (i64 i = 0; i < ne; i++) {
-        d_lane[i] = e_dst[i] % LANES;
-        d_row[i] = (e_dst[i] % DCH) / LANES;
+        bin_row[i] = (i32)(e_sc[i] * RAu + (a_row[i] - RAoff[d_gamma[i]]));
+        subv[i] = (i32)(bin_row[i] / SUB);
+        d_lane[i] = (u8)(e_dst[i] % LANES);
+        d_row[i] = (u8)((e_dst[i] % DCH) / LANES);
     }
 
+    ST.lap("passB_prep");
     // RB computed per gamma then unified: first pass over gammas for counts
     // rr (round-robin rank over final lanes within (gamma, sub, delta))
     // computed with a hash-free two-pass: sort by full key.
     // Work gamma-by-gamma using index lists to bound memory.
-    std::vector<std::vector<i64>> by_gamma(gamma);
-    for (i64 i = 0; i < ne; i++)
-        if (!spilled[i]) by_gamma[d_gamma[i]].push_back(i);
+    // flat CSR layout (counted fill): 8M vector push_backs measured as a
+    // full second of the cold build
+    std::vector<i64> goff(gamma + 1, 0);
+    std::vector<i32> gel;
+    {
+        for (i64 i = 0; i < ne; i++) if (!spilled[i]) goff[d_gamma[i] + 1]++;
+        for (i64 g = 0; g < gamma; g++) goff[g + 1] += goff[g];
+        gel.resize(goff[gamma]);
+        std::vector<i64> cur(goff.begin(), goff.end() - 1);
+        for (i64 i = 0; i < ne; i++)
+            if (!spilled[i]) gel[cur[d_gamma[i]]++] = (i32)i;
+    }
 
     i64 RBu = 1;
     // global RBu: the smallest 8-aligned staging stride whose rank
@@ -386,7 +456,10 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
         allcnt.reserve(gamma * nsub * cpg);
         for (i64 g = 0; g < gamma; g++) {
             std::fill(cntB.begin(), cntB.end(), 0);
-            for (i64 i : by_gamma[g]) cntB[subv[i] * cpg + delta[i]]++;
+            for (i64 t = goff[g]; t < goff[g + 1]; t++) {
+                const i64 i = gel[t];
+                cntB[subv[i] * cpg + delta[i]]++;
+            }
             for (i64 c : cntB) {
                 allcnt.push_back(c);
                 RBu = std::max(RBu, (c + LANES - 1) / LANES);
@@ -402,133 +475,160 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
     if (force_RBu >= RBu) RBu = force_RBu;   // multi-shard common geometry
     R->RBu = RBu;
 
-    R->S1.assign(gamma * KB1 * nsub * SUB * LANES, 0);
-    R->B1_brow.assign(gamma * nsub * cpg * RBu * LANES, 0);
-    R->B1_bank.assign(gamma * nsub * cpg * RBu * LANES, 255);
-    R->S2.assign(gamma * cpg * KB2 * nsub * RBu * LANES, 0);
-    R->B2_brow.assign(gamma * cpg * LANES * LANES, 0);
-    R->B2_bank.assign(gamma * cpg * LANES * LANES, 255);
+    ST.lap("RBu");
+    R->S1.assign0(gamma * KB1 * nsub * SUB * LANES);
+    R->B1_brow.assign0(gamma * nsub * cpg * RBu * LANES);
+    R->B1_bank.assign_byte(gamma * nsub * cpg * RBu * LANES, 255);
+    R->S2.assign0(gamma * cpg * KB2 * nsub * RBu * LANES);
+    R->B2_brow.assign0(gamma * cpg * LANES * LANES);
+    R->B2_bank.assign_byte(gamma * cpg * LANES * LANES, 255);
 
+    ST.lap("allocB");
     // Sweep 1 (compute): per-gamma ranks, staging coordinates and bank ids
     // are STORED so the adaptive bank caps (cap1/cap2) can be chosen from
     // the global histograms before any table is filled.
+    //
+    // All four per-gamma quantities are computed by LINEAR counting passes
+    // over small dense aux arrays instead of radix argsorts (this sweep's
+    // four 1M-element sorts per gamma were the dominant cost of the whole
+    // route build - measured 4.2 s warm / 6+ s cold of a ~10 s build):
+    //   rr     - dense per-(sub,delta,d_lane) counter in stream order
+    //   rankB  - bucket offsets per (sub,delta,rr) + a d_lane-ordered
+    //            second pass (rr is a per-lane rank, so (grp,rr,d_lane) is
+    //            unique and bucket arrival in d_lane order reproduces the
+    //            (rr, d_lane)-sorted rank exactly)
+    //   bank1/bank2 - seen-lane lists per group in arrival order (any
+    //            distinct-lane -> bank bijection is valid, as for bankA)
     std::vector<std::vector<i32>> G_brow(gamma), G_blane(gamma),
         G_bank1(gamma), G_stg(gamma), G_bank2(gamma);
-    std::vector<i64> key, ord, rr, rankB, b_row, b_lane, bank1, stg_row,
-        bank2;
-    for (i64 g = 0; g < gamma; g++) {
-        auto& el = by_gamma[g];
-        const i64 m = (i64)el.size();
-        if (!m) continue;
-        key.resize(m); ord.resize(m); rr.resize(m);
-        // rr: rank within (sub, delta, d_lane) in stream order
-        {
+    i64 hist1[KB1 + 1] = {0}, hist2[KB2 + 1] = {0};
+    {
+        const i64 NKEY = nsub * cpg * LANES;     // (sub, delta, d_lane)
+        const i64 NGRP = nsub * cpg;             // (sub, delta)
+        const i64 CAPR = RBu * LANES;            // rr >= CAPR spills anyway
+        std::vector<i32> ctr(NKEY), cntR((size_t)NGRP * CAPR);
+        std::vector<i32> rr, rankB, dlorder;
+        std::vector<i64> dl_off(LANES + 1);
+        std::vector<u8> seen1((size_t)nsub * SUB * LANES * KB1);
+        std::vector<u8> seen2((size_t)cpg * nsub * RBu * LANES * KB2);
+        for (i64 g = 0; g < gamma; g++) {
+            const i32* el = gel.data() + goff[g];
+            const i64 m = goff[g + 1] - goff[g];
+            if (!m) continue;
+            rr.resize(m); rankB.resize(m); dlorder.resize(m);
+            // rr + per-key counts (stream order)
+            std::fill(ctr.begin(), ctr.end(), 0);
             for (i64 j = 0; j < m; j++) {
                 const i64 i = el[j];
-                key[j] = (subv[i] * cpg + delta[i]) * LANES + d_lane[i];
-                ord[j] = j;
+                const i64 k = (subv[i] * cpg + delta[i]) * LANES + d_lane[i];
+                rr[j] = ctr[k]++;
             }
-            radix_argsort(key, ord, nsub * cpg * LANES);
-            i64 prev = -1, c = 0;
+            // cntR[grp][r] = #lanes in grp with count > r (r < CAPR)
+            std::fill(cntR.begin(), cntR.end(), 0);
+            for (i64 k = 0; k < NKEY; k++) {
+                const i64 c = std::min<i64>(ctr[k], CAPR);
+                i32* base = &cntR[(size_t)(k / LANES) * CAPR];
+                for (i64 r = 0; r < c; r++) base[r]++;
+            }
+            // exclusive prefix per grp -> bucket start offsets
+            for (i64 grp = 0; grp < NGRP; grp++) {
+                i32* base = &cntR[(size_t)grp * CAPR];
+                i32 run = 0;
+                for (i64 r = 0; r < CAPR; r++) {
+                    const i32 c = base[r];
+                    base[r] = run;
+                    run += c;
+                }
+            }
+            // d_lane-ordered traversal (stable counting sort, 128 buckets)
+            std::fill(dl_off.begin(), dl_off.end(), 0);
+            for (i64 j = 0; j < m; j++) dl_off[d_lane[el[j]] + 1]++;
+            for (i64 l = 0; l < LANES; l++) dl_off[l + 1] += dl_off[l];
+            for (i64 j = 0; j < m; j++)
+                dlorder[dl_off[d_lane[el[j]]]++] = (i32)j;
+            // rankB: bucket-offset fill in d_lane order
             for (i64 jj = 0; jj < m; jj++) {
-                const i64 j = ord[jj];
-                if (key[j] != prev) { c = 0; prev = key[j]; }
-                rr[j] = c++;
-            }
-        }
-        // orderB: stable sort by (sub, delta, seq_key = rr*128 + d_lane);
-        // rankB = position within (sub, delta)
-        rankB.resize(m); b_row.resize(m); b_lane.resize(m);
-        {
-            for (i64 j = 0; j < m; j++) {
-                const i64 i = el[j];
-                key[j] = ((subv[i] * cpg + delta[i]) * (m + 1) +
-                          rr[j]) * LANES + d_lane[i];
-                ord[j] = j;
-            }
-            radix_argsort(key, ord, (nsub * cpg) * (m + 1) * LANES);
-            i64 prev_grp = -1, c = 0;
-            for (i64 jj = 0; jj < m; jj++) {
-                const i64 j = ord[jj];
+                const i64 j = dlorder[jj];
+                if (rr[j] >= CAPR) { rankB[j] = (i32)CAPR; continue; }
                 const i64 i = el[j];
                 const i64 grp = subv[i] * cpg + delta[i];
-                if (grp != prev_grp) { c = 0; prev_grp = grp; }
-                rankB[j] = c++;
+                rankB[j] = cntR[(size_t)grp * CAPR + rr[j]]++;
             }
-        }
-        // rank overflow vs uniform RBu
-        for (i64 j = 0; j < m; j++) {
-            if (rankB[j] / LANES >= RBu) spilled[el[j]] = 1;
-            b_row[j] = rankB[j] / LANES;     // within-delta row (uniform)
-            b_lane[j] = rankB[j] % LANES;
-        }
-        // bank1: distinct bin_lane (=a_lane) per (bin_row*128 + b_lane)
-        bank1.resize(m);
-        {
+            auto& brow_g = G_brow[g]; auto& blane_g = G_blane[g];
+            auto& bank1_g = G_bank1[g]; auto& stg_g = G_stg[g];
+            auto& bank2_g = G_bank2[g];
+            brow_g.resize(m); blane_g.resize(m); bank1_g.resize(m);
+            stg_g.resize(m); bank2_g.resize(m);
+            std::memset(seen1.data(), 255, seen1.size());
+            std::memset(seen2.data(), 255, seen2.size());
             for (i64 j = 0; j < m; j++) {
                 const i64 i = el[j];
-                key[j] = (bin_row[i] * LANES + b_lane[j]) * LANES + a_lane[i];
-                ord[j] = j;
-            }
-            radix_argsort(key, ord, (n_sc * RAu) * LANES * LANES);
-            i64 prev_grp = -1, prev_key = -1, bank = 0;
-            for (i64 jj = 0; jj < m; jj++) {
-                const i64 j = ord[jj];
-                const i64 grp = key[j] / LANES;
-                if (grp != prev_grp) { bank = 0; prev_grp = grp; prev_key = key[j]; }
-                else if (key[j] != prev_key) { bank++; prev_key = key[j]; }
-                bank1[j] = bank;
+                if (rankB[j] / LANES >= RBu) spilled[i] = 1;
+                const i32 br = (i32)(rankB[j] / LANES);
+                const i32 bl = (i32)(rankB[j] % LANES);
+                brow_g[j] = br;
+                blane_g[j] = bl;
+                // bank1: distinct a_lane per (bin_row, b_lane)
+                {
+                    u8* s = &seen1[(size_t)(bin_row[i] * LANES + bl) * KB1];
+                    const u8 v = (u8)a_lane[i];
+                    i64 b = 0;
+                    for (; b < KB1; b++) {
+                        if (s[b] == v) break;
+                        if (s[b] == 255) { s[b] = v; break; }
+                    }
+                    bank1_g[j] = (i32)b;
+                }
+                // bank2: distinct b_lane per (delta, stg_row, d_lane)
+                const i32 sg = (i32)(subv[i] * RBu + br);
+                stg_g[j] = sg;
+                {
+                    u8* s = &seen2[(size_t)((delta[i] * (nsub * RBu) + sg)
+                                            * LANES + d_lane[i]) * KB2];
+                    const u8 v = (u8)bl;
+                    i64 b = 0;
+                    for (; b < KB2; b++) {
+                        if (s[b] == v) break;
+                        if (s[b] == 255) { s[b] = v; break; }
+                    }
+                    bank2_g[j] = (i32)b;
+                }
+                if (!spilled[i]) {
+                    hist1[std::min<i64>(bank1_g[j], KB1 - 1)]++;
+                    hist2[std::min<i64>(bank2_g[j], KB2 - 1)]++;
+                }
             }
         }
-        // bank2: distinct stg_lane (=b_lane) per (stg_row*128 + fl)
-        stg_row.resize(m); bank2.resize(m);
-        {
-            for (i64 j = 0; j < m; j++) {
-                const i64 i = el[j];
-                stg_row[j] = subv[i] * RBu + b_row[j];
-                // group key includes delta: each (delta) is its own B2 block
-                key[j] = ((delta[i] * (nsub * RBu) + stg_row[j]) * LANES +
-                          d_lane[i]) * LANES + b_lane[j];
-                ord[j] = j;
-            }
-            radix_argsort(key, ord,
-                          cpg * (nsub * RBu) * LANES * LANES);
-            i64 prev_grp = -1, prev_key = -1, bank = 0;
-            for (i64 jj = 0; jj < m; jj++) {
-                const i64 j = ord[jj];
-                const i64 grp = key[j] / LANES;
-                if (grp != prev_grp) { bank = 0; prev_grp = grp; prev_key = key[j]; }
-                else if (key[j] != prev_key) { bank++; prev_key = key[j]; }
-                bank2[j] = bank;
-            }
-        }
-        G_brow[g].assign(b_row.begin(), b_row.end());
-        G_blane[g].assign(b_lane.begin(), b_lane.end());
-        G_bank1[g].assign(bank1.begin(), bank1.end());
-        G_stg[g].assign(stg_row.begin(), stg_row.end());
-        G_bank2[g].assign(bank2.begin(), bank2.end());
     }
 
-    // global adaptive caps from the stored bank ids (dead = already spilled)
+    ST.lap("sweep1");
+    // global adaptive caps from the accumulated bank histograms
     i64 cap1, cap2;
     {
-        std::vector<i64> all1, all2;
-        std::vector<u8> dead;
-        all1.reserve(ne); all2.reserve(ne); dead.reserve(ne);
-        for (i64 g = 0; g < gamma; g++)
-            for (size_t j = 0; j < G_bank1[g].size(); j++) {
-                all1.push_back(G_bank1[g][j]);
-                all2.push_back(G_bank2[g][j]);
-                dead.push_back(spilled[by_gamma[g][j]]);
+        auto cap_of = [&](const i64* hist, i64 K, const char* tag) {
+            i64 over = 0, cap = 1;
+            for (i64 c = K; c >= 2; c--) {
+                over += hist[c - 1];
+                if (over * 1000 > ne) { cap = c; break; }
             }
-        cap1 = bank_cap(all1, dead, ne, KB1);
-        cap2 = bank_cap(all2, dead, ne, KB2);
+            if (getenv("HPCLINALG_ROUTE_DEBUG")) {
+                fprintf(stderr, "bank_cap %s K=%lld cap=%lld hist:", tag,
+                        (long long)K, (long long)cap);
+                for (i64 b = 0; b < K; b++)
+                    fprintf(stderr, " %lld", (long long)hist[b]);
+                fprintf(stderr, "\n");
+            }
+            return cap;
+        };
+        cap1 = cap_of(hist1, KB1, "B1");
+        cap2 = cap_of(hist2, KB2, "B2");
     }
 
+    ST.lap("caps12");
     // Sweep 2 (fill) with the caps applied
     for (i64 g = 0; g < gamma; g++) {
-        auto& el = by_gamma[g];
-        const i64 m = (i64)el.size();
+        const i32* el = gel.data() + goff[g];
+        const i64 m = goff[g + 1] - goff[g];
         for (i64 j = 0; j < m; j++) {
             const i64 i = el[j];
             if (G_bank1[g][j] >= cap1 || G_bank2[g][j] >= cap2)
@@ -557,6 +657,7 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
         }
     }
 
+    ST.lap("sweep2");
     for (i64 i = 0; i < ne; i++)
         if (spilled[i]) { R->spill_dst.push_back(e_dst[i]);
                           R->spill_src.push_back(e_src[i]); }
@@ -567,7 +668,7 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
     // shrink to the live count
     i64 KAe = 1, KB1e = 1, KB2e = 1;
     for (i64 i = 0; i < ne; i++)
-        if (!spilled[i]) KAe = std::max(KAe, bankA[i] + 1);
+        if (!spilled[i]) KAe = std::max<i64>(KAe, bankA[i] + 1);
     for (i64 j = 0; j < (i64)R->B1_bank.size(); j++)
         if (R->B1_bank[j] != 255)
             KB1e = std::max(KB1e, (i64)R->B1_bank[j] + 1);
@@ -579,6 +680,7 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
     KB2e = std::min(std::max(KB2e, force_KB2), KB2);
     R->KAe = KAe; R->KB1e = KB1e; R->KB2e = KB2e;
 
+    ST.lap("tail");
     geom[0] = R->ne; geom[1] = R->T1; geom[2] = R->n_sc; geom[3] = R->C2;
     geom[4] = R->gamma; geom[5] = R->cpg; geom[6] = R->RAu; geom[7] = R->nsub;
     geom[8] = R->RBu; geom[9] = (i64)R->spill_dst.size();
@@ -634,14 +736,45 @@ void route_export_packed(void* h, i32* win, i8* win_rel, i8* M, i8* SA,
     const i64 PA = (SC + LANES - 1) / LANES;
     const i64 PB = (SUB + LANES - 1) / LANES;
     const i64 PS = (nsub * RBu + LANES - 1) / LANES;
-    pack_cg(R->A_brow, R->A_bank, n_sc, gamma * RAu, PA, A_rel, A_sel,
-            live);
-    pack_cg(R->B1_brow, R->B1_bank, gamma * nsub, cpg * RBu, PB, B1_rel,
-            B1_sel, live + 256);
-    pack_cg(R->B2_brow, R->B2_bank, gamma * cpg, LANES, PS, B2_rel,
-            B2_sel, live + 512);
+    pack_cg(R->A_brow.data(), R->A_bank.data(), n_sc, gamma * RAu, PA,
+            A_rel, A_sel, live);
+    pack_cg(R->B1_brow.data(), R->B1_bank.data(), gamma * nsub, cpg * RBu,
+            PB, B1_rel, B1_sel, live + 256);
+    pack_cg(R->B2_brow.data(), R->B2_bank.data(), gamma * cpg, LANES, PS,
+            B2_rel, B2_sel, live + 512);
 }
 
 void route_free(void* h) { delete (Route*)h; }
+
+// Single-pass ELL layout build for one shard (the plan-construction numpy
+// repeat/fancy-scatter build measured ~2 s at 8M nnz; this is one CSR
+// sweep). cols (Lrow, W) i32; scat (nnzpad) i32 with dead slots = Lrow*W;
+// tail outputs get the per-row overflow entries (slot >= W); returns the
+// tail count. Caller allocates tails at the precomputed overflow count.
+i64 ell_build(i64 nl, i64 Lrow, i64 W, i64 nnzpad,
+              const i64* indptr, const i32* colval,
+              i32* cols, i32* scat,
+              i32* trow, i32* tgidx, i64* tpos) {
+  std::memset(cols, 0, sizeof(i32) * (size_t)(Lrow * W));
+  const i32 dead = (i32)(Lrow * W);
+  for (i64 t = 0; t < nnzpad; t++) scat[t] = dead;
+  i64 ntail = 0;
+  for (i64 r = 0; r < nl; r++) {
+    const i64 p0 = indptr[r], p1 = indptr[r + 1];
+    const i64 lim = std::min(p1, p0 + W);
+    i32* cr = cols + (size_t)r * W;
+    for (i64 t = p0; t < lim; t++) {
+      cr[t - p0] = colval[t];
+      scat[t] = (i32)(r * W + (t - p0));
+    }
+    for (i64 t = p0 + W; t < p1; t++) {
+      trow[ntail] = (i32)r;
+      tgidx[ntail] = colval[t];
+      tpos[ntail] = t;
+      ntail++;
+    }
+  }
+  return ntail;
+}
 
 }  // extern "C"
