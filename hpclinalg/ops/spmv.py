@@ -463,7 +463,15 @@ def _ell_spmm_exec(Lrow: int, W: int, Tpad: int, pad_to: int = 0):
     @jax.jit
     def run(vals, cols, tvals, trows, tgidx, gathered):
         dt = jnp.result_type(vals.dtype, gathered.dtype)
-        gathered = _ub(_pad_trunc(gathered, pad_to).astype(dt))
+        # no _pad_trunc here: take's default clip mode makes indices into
+        # the padded tail in-bounds, and dead ELL slots carry vals == 0 so
+        # clipped rows contribute nothing — the pad materialized a full
+        # (n, k) copy (~256 MB at the 1M x 64 workload) per product. With
+        # the pad/astype producer gone there is nothing to fuse into the
+        # gather, and the operand barrier itself measured ~15 ms at the
+        # bench geometry (tools/probe_spmm_deployed.py noub_stack 45.8 ms
+        # vs the barriered path at 60.4) — so no _ub here either.
+        gathered = gathered.astype(dt)
         k = gathered.shape[-1]
         S = gathered.shape[0]
 
@@ -488,6 +496,50 @@ def _ell_spmm_exec(Lrow: int, W: int, Tpad: int, pad_to: int = 0):
     return run
 
 
+def _ell_cols_raw(A, plan):
+    """(S, Lrow*W) ELL column table composed with the compressed-column
+    map (st.col_indices), so single-shard consumers index the RAW x/B
+    block directly — skipping the compression-exchange gather, which for
+    SpMM re-reads the whole (n, k) dense operand (measured as the bulk of
+    the deployed-vs-bare gap at 1M x 64). Dead slots point at a real
+    column; their vals are 0. Cached per matrix instance."""
+    cache = getattr(A, "_engine_cache", None)
+    if cache is None:
+        cache = A._engine_cache = {}
+    hit = cache.get(("ell_raw", plan.key))
+    if hit is not None:
+        return hit
+    st = A.structure
+    cols = getattr(plan, "ell_cols_np", None)
+    if cols is None:
+        cols = np.asarray(plan.ell_cols)
+    out = np.empty_like(cols)
+    for s in range(cols.shape[0]):
+        ci = st.col_indices[s]
+        c = cols[s].astype(np.int64)
+        out[s] = (ci[np.minimum(c, len(ci) - 1)] if len(ci)
+                  else cols[s]).astype(cols.dtype)
+    dev = jax.device_put(out, A.backend.row_sharding())
+    cache[("ell_raw", plan.key)] = dev
+    return dev
+
+
+def _ell_tail_gidx_raw(A, plan):
+    """COO-tail gather indices composed with the compressed-column map
+    (single-shard raw-operand path)."""
+    cache = A._engine_cache
+    hit = cache.get(("ell_tail_raw", plan.key))
+    if hit is not None:
+        return hit
+    st = A.structure
+    ci = st.col_indices[0]
+    tg = plan.ell_tail_gidx_np[0].astype(np.int64)
+    raw = ci[np.clip(tg, 0, max(len(ci) - 1, 0))] if len(ci) else tg
+    dev = jax.device_put(raw.astype(np.int32)[None])
+    cache[("ell_tail_raw", plan.key)] = dev
+    return dev
+
+
 def _ell_apply(A, plan, data, spmm: bool):
     st = A.structure
     vals, tvals = _ell_values(A, plan)
@@ -496,6 +548,13 @@ def _ell_apply(A, plan, data, spmm: bool):
     else:
         trows, tgidx = plan.ell_tail_rows, plan.ell_tail_gidx
     fn = _ell_spmm_exec if spmm else _ell_exec
+    if spmm and A.backend.nshards == 1:
+        # raw-operand path: compression composed into the column tables
+        cols = _ell_cols_raw(A, plan)
+        if plan.ell_Tpad:
+            tgidx = _ell_tail_gidx_raw(A, plan)
+        return fn(st.Lrow, plan.ell_W, plan.ell_Tpad, 0)(
+            vals, cols, tvals, trows, tgidx, data)
     pad_to = plan.exchange.out_pad if plan.exchange.is_identity else 0
     g = data if plan.exchange.is_identity else plan.exchange.apply(data)
     return fn(st.Lrow, plan.ell_W, plan.ell_Tpad, pad_to)(

@@ -256,15 +256,26 @@ _TRSM_LEAF = int(_os.environ.get("HPCLINALG_TRSM_LEAF", 8))
 # OOM); "1" = always substitution on eligible shapes; "0" = never
 _TRSM_POLICY = _os.environ.get("HPCLINALG_TRSM_SMALL", "")
 # matmul-only cholesky/LDL-with-inverse front kernels (chol_inv_blocked /
-# ldl_inv_blocked). OFF by default by measurement: isolated per-level A/B
-# (tools/probe_front_kernels.py) shows them 2.2x faster than
-# lax.linalg.cholesky + triangular_solve (52.9 -> 23.8 ms over the 512^2
-# levels 0-8), but inside the fused level program the same-session A/B
-# (tools/bench_device_factor.py) measured 195.3 -> 231.8 ms: XLA overlaps
-# the While-loop kernels with the assembly/extend-add scatters, so the
-# critical path doesn't shrink and the inverse's extra matmuls/concats
-# compete with the scatters instead.
-_CHOL_INV = _os.environ.get("HPCLINALG_CHOL_INV", "0") == "1"
+# ldl_inv_blocked). OFF by default by measurement — including per-level
+# deployment: isolated A/B (tools/probe_front_kernels.py) shows them far
+# faster at small NC / huge batch (9.28 -> 0.41 ms at B=4101/NC=20), but
+# inside the fused level program the While-loop cholesky OVERLAPS the
+# assembly/extend-add scatters while the inv kernels' VPU-unrolled leaves
+# compete with them: 512^2 chol steady factor measured 186.4 ms (off) vs
+# 224.6 (NC<=96 levels only) vs 220.8 (NC<=256) vs 231.8 (all levels,
+# round-4 session). HPCLINALG_CHOL_INV: "0"/default = never; "1" = every
+# level; "auto" = NC <= HPCLINALG_CHOL_INV_MAX (kept for re-measurement
+# on other topologies).
+_CHOL_INV_POLICY = _os.environ.get("HPCLINALG_CHOL_INV", "0")
+_CHOL_INV_MAX = int(_os.environ.get("HPCLINALG_CHOL_INV_MAX", 96))
+
+
+def _use_inv_kernel(NC: int) -> bool:
+    if _CHOL_INV_POLICY == "1":
+        return True
+    if _CHOL_INV_POLICY == "auto":
+        return NC <= _CHOL_INV_MAX
+    return False
 # trace-time switch: set by DeviceMF around each jit invocation so the
 # engine that hit the wall retraces with substitution while other engines
 # in the same process keep the fast custom call
@@ -1164,7 +1175,7 @@ class DeviceMF:
         if self.kind == "chol":
             # fronts are assembled lower-triangle-only for symmetric kinds;
             # the default symmetrize_input would halve the off-diagonals.
-            if _CHOL_INV:
+            if _use_inv_kernel(NC):
                 L11, Minv = chol_inv_blocked(F11)
                 L21 = jnp.matmul(F21, jnp.swapaxes(Minv, 1, 2),
                                  precision=_mm_prec(F.dtype))
@@ -1176,7 +1187,7 @@ class DeviceMF:
                                  precision=_mm_prec(F.dtype))
             return (L11, L21), U, jnp.zeros((), jnp.int32)
         if self.kind == "ldl":
-            if _CHOL_INV:
+            if _use_inv_kernel(NC):
                 L11, d, Minv, npert = ldl_inv_blocked(F11, eps)
                 W = jnp.matmul(F21, jnp.swapaxes(Minv, 1, 2),
                                precision=_mm_prec(F.dtype))

@@ -465,11 +465,32 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
                 RBu = std::max(RBu, (c + LANES - 1) / LANES);
             }
         }
+        if (getenv("HPCLINALG_ROUTE_DEBUG")) {
+            std::vector<i64> srt(allcnt);
+            std::sort(srt.begin(), srt.end());
+            const i64 nc_ = (i64)srt.size();
+            fprintf(stderr, "[route] cells n=%lld p50=%lld p90=%lld p99=%lld"
+                    " top:", (long long)nc_, (long long)srt[nc_ / 2],
+                    (long long)srt[nc_ * 9 / 10], (long long)srt[nc_ * 99 / 100]);
+            for (i64 t = std::max<i64>(0, nc_ - 8); t < nc_; t++)
+                fprintf(stderr, " %lld", (long long)srt[t]);
+            fprintf(stderr, "\n");
+        }
         RBu = ((RBu + 7) / 8) * 8;  // 8-row DMA granularity
+        // rank-overflow budget: accept cand when overflow spills stay
+        // under ne/budget (HPCLINALG_ROUTE_RBU_BUDGET, default 100 =
+        // 1%). Each halving of RBu halves B1's masked-pass count and
+        // the S2 staging tables, at the price of more COO-epilogue adds.
+        i64 budget = 100;
+        if (const char* e = getenv("HPCLINALG_ROUTE_RBU_BUDGET"))
+            budget = atoll(e);
         for (i64 cand = 8; cand < RBu; cand += 8) {
             i64 ov = 0;
             for (i64 c : allcnt) ov += std::max<i64>(0, c - cand * LANES);
-            if (ov * 2000 <= ne) { RBu = cand; break; }
+            if (getenv("HPCLINALG_ROUTE_DEBUG"))
+                fprintf(stderr, "[route] RBu cand=%lld ov=%lld (%.3f%%)\n",
+                        (long long)cand, (long long)ov, 100.0 * ov / ne);
+            if (ov * budget <= ne) { RBu = cand; break; }
         }
     }
     if (force_RBu >= RBu) RBu = force_RBu;   // multi-shard common geometry

@@ -56,7 +56,8 @@ def main():
 
     nrow_x = _ceil(packed.plan.nsrc, LANES) + LANES
     key = (packed.n_sc, packed.gamma, packed.cpg, packed.RAu, packed.TP_A,
-           packed.nsub, packed.RBu, packed.TP_B, packed.PS, nrow_x)
+           packed.nsub, packed.RBu, packed.TP_B, packed.PS, nrow_x,
+           packed.KAe, packed.KB1e, packed.KB2e)
     run_a, run_b1, run_b2 = _shuffle_fns(
         key, tuple(packed.A_live), tuple(packed.B1_live),
         tuple(packed.B2_live))
