@@ -240,11 +240,17 @@ def main():
     extras["spmv_random_hbm_frac"] = round(rgbs / HBM_PEAK_GBS, 3)
 
     # ---- SpMM, random sparse x dense (n,64): row-gather amortization ----
+    # EAGER dispatch slope (the spmv_random methodology): XLA lowers the
+    # row gather ~2x slower inside a fori_loop body than as a standalone
+    # executable (measured 45 vs 92 ms across every barrier/pad variant,
+    # tools/probe_spmm5.py), and SpMM in practice is a standalone op, not
+    # a loop-carried one.
     try:
         kB = 64
         Bw = jnp.asarray(rng.standard_normal((n1, kB)), jnp.float32)[None]
-        tsm = _chain_ms(lambda v: _ell_apply(Ard, rplan, v, spmm=True)
-                        * 0.125, Bw, K1=2, K2=6)
+        tsm = _slope_dispatch_ms(
+            lambda: _ell_apply(Ard, rplan, Bw, spmm=True), sync,
+            N1=2, N2=8)
         extras["spmm_random_1m_k64_ms"] = round(tsm, 3)
         extras["spmm_random_gelems_s"] = round(
             Ar.nnz * kB / (tsm / 1e3) / 1e9, 2)

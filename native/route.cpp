@@ -112,7 +112,7 @@ void radix_argsort(const std::vector<i64>& keys, std::vector<i64>& idx,
 // Adaptive bank CAP (table diet): almost all emissions land in banks 0-1,
 // but a single bank-(K-1) element anywhere forces K table banks AND K
 // masked kernel passes. Pick the smallest cap whose overflow fits in the
-// COO spill epilogue budget (0.1% of total emissions per stage).
+// COO spill epilogue budget (1/600 of total emissions per stage).
 i64 bank_cap(const std::vector<u8>& bank, const std::vector<u8>& dead,
              i64 ne_total, i64 K) {
     std::vector<i64> hist(K + 1, 0);
@@ -121,7 +121,7 @@ i64 bank_cap(const std::vector<u8>& bank, const std::vector<u8>& dead,
     i64 over = 0, cap = 1;
     for (i64 c = K; c >= 2; c--) {
         over += hist[c - 1];
-        if (over * 1000 > ne_total) { cap = c; break; }
+        if (over * 600 > ne_total) { cap = c; break; }
     }
     if (getenv("HPCLINALG_ROUTE_DEBUG")) {
         fprintf(stderr, "bank_cap K=%lld cap=%lld hist:", (long long)K,
@@ -630,7 +630,7 @@ void* route_build(i64 ndest, i64 nsrc, const i64* src_of, i64* geom,
             i64 over = 0, cap = 1;
             for (i64 c = K; c >= 2; c--) {
                 over += hist[c - 1];
-                if (over * 1000 > ne) { cap = c; break; }
+                if (over * 600 > ne) { cap = c; break; }
             }
             if (getenv("HPCLINALG_ROUTE_DEBUG")) {
                 fprintf(stderr, "bank_cap %s K=%lld cap=%lld hist:", tag,

@@ -248,7 +248,12 @@ def test_random_spmm_tier(be1):
 
     import jax.numpy as jnp
 
-    n = 1 << 20
+    # n = 10^6, matching the bench workload. NOT 2^20: XLA's row-gather
+    # runs 2.1x slower when the row count is exactly a power of two
+    # (95.9 vs 44.7 ms, same seed, same code — tools/probe_spmm7.py;
+    # operand padding does not lift it, so it is an upstream lowering/
+    # layout artifact, not an engine property).
+    n = 1_000_000
     W, k = 8, 64
     rng = np.random.default_rng(7)
     rows = np.repeat(np.arange(n), W)
@@ -269,31 +274,31 @@ def test_random_spmm_tier(be1):
     ref = A @ B
     got = np.asarray(C)[0][:n]
     assert _rel(got, ref) < F32TOL
-    # perf floor by in-jit chain slope (the bench methodology: relay
-    # dispatch overhead is ~10 ms/call and does NOT cancel in a
-    # dispatch-count slope — it scales with N)
-    import jax
+    # perf floor by EAGER dispatch-count slope (the bench methodology):
+    # constant costs (the trailing readback RTT) cancel in the N2-N1
+    # difference. The in-jit chain regime is deliberately NOT the floor
+    # anymore: XLA lowers the row gather ~2x slower inside a fori_loop
+    # body than as a standalone executable (45 vs 92 ms measured across
+    # every pad/barrier/table-capture variant, tools/probe_spmm5.py), and
+    # SpMM is a standalone op in practice. Raw-operand path (compression
+    # composed into the tables, no pad copy) measures ~11.4 Gelem/s.
+    def runN(N):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(N):
+            o = _ell_apply(Ad, plan, Bd, spmm=True)
+        float(jnp.sum(o))
+        return time.perf_counter() - t0
 
-    def mk(N):
-        return jax.jit(lambda y: jax.lax.fori_loop(
-            0, N, lambda i, v: _ell_apply(Ad, plan, v, spmm=True) * 0.125,
-            y))
-
+    runN(2)
     N1, N2 = 2, 8
-    c1, c2 = mk(N1), mk(N2)
-    float(jnp.sum(c1(Bd)))
-    float(jnp.sum(c2(Bd)))
     t1s, t2s = [], []
     for _ in range(3):
-        t0 = time.perf_counter()
-        float(jnp.sum(c1(Bd)))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(jnp.sum(c2(Bd)))
-        t2s.append(time.perf_counter() - t0)
+        t1s.append(runN(N1))
+        t2s.append(runN(N2))
     ms = (min(t2s) - min(t1s)) / (N2 - N1) * 1e3
     rate = A.nnz * k / (ms / 1e3) / 1e9   # Gelem/s
-    assert rate > 6.5, f"random SpMM tier regressed: {rate:.1f} Gelem/s"
+    assert rate > 9.0, f"random SpMM tier regressed: {rate:.1f} Gelem/s"
 
 
 def test_extended_refinement_on_chip(be1):
