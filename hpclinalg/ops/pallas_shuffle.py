@@ -810,7 +810,7 @@ _TABLE_KEYS = ("win", "win_rel", "M", "SA", "A_rel", "A_sel", "S1",
                "B1_rel", "B1_sel", "S2", "B2_rel", "B2_sel")
 _GEOM_KEYS = ("n_sc", "gamma", "cpg", "RAu", "nsub", "RBu", "KAe", "KB1e",
               "KB2e", "SCG", "PA", "PB", "PS", "TP_A", "TP_B", "stage_rows")
-_ROUTE_FORMAT = 1          # bump to invalidate persisted routes
+_ROUTE_FORMAT = 2          # bump to invalidate persisted routes (2: RBu/bank-cap diet)
 _route_cache_default = None  # set by config.enable_route_cache
 
 
