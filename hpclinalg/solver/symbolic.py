@@ -330,11 +330,21 @@ def analyze_fastest(A_csr: sp.csr_matrix, relax: int = 16,
     except Exception:
         return sym
     if n <= trial_max_n:
+        # candidate grid: both orderings x {default, light} amalgamation.
+        # Light merging trades BLAS-front size for fewer explicit-zero
+        # flops; which side wins flips with size and ordering (measured
+        # 100^2: amd/r8 beats amd/r16 by ~12%; 512^2: nd/light beats the
+        # default by ~30% — while the cost model ranks them invertedly).
         reps = 2 if n <= 65_536 else 1
-        t_amd = _trial_factor_ms(A_csr, sym, reps)
-        t_nd = _trial_factor_ms(A_csr, sym_nd, reps)
-        if np.isfinite(min(t_amd, t_nd)):
-            return sym_nd if t_nd < t_amd else sym
+        cands = [sym, sym_nd]
+        try:
+            cands.append(analyze(A_csr, sym.perm, 4, 0.1, 8))
+            cands.append(analyze(A_csr, sym_nd.perm, 4, 0.1, 8))
+        except Exception:
+            pass
+        times = [_trial_factor_ms(A_csr, s, reps) for s in cands]
+        if np.isfinite(min(times)):
+            return cands[int(np.argmin(times))]
     if (sym_nd.flops + 1000.0 * sym_nd.lnz
             < sym.flops + 1000.0 * sym.lnz):
         return sym_nd
